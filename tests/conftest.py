@@ -1,0 +1,9 @@
+import pytest
+
+from scoobie_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("scoobie_spark_tests", cores=4, shuffle_partitions=4)
+    yield s

@@ -1,0 +1,112 @@
+"""A1-A9 ETL: cleansing parity, deterministic dictionaries, encode
+round-trip (reference TestPostgresKB.java:56-183 round-trip assertions)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scoobie_spark.fixtures import (
+    EX_INST,
+    EX_ONT,
+    RDF_TYPE,
+    RDFS_LABEL,
+    micro_kb,
+)
+from scoobie_spark.hashing import java_hash_prefix_py
+from scoobie_spark.kb.etl import (
+    build_kb_from_string_triples,
+    cleanse_triples,
+    parse_ntriples,
+)
+
+
+@pytest.fixture(scope="module")
+def string_triples(spark):
+    obj = spark.createDataFrame(
+        [
+            (EX_INST + "Percy_Jackson", EX_ONT + "livesIn", EX_INST + "Camp_Halfblood"),
+            (EX_INST + "Percy_Jackson", RDF_TYPE, EX_ONT + "Person"),
+            ("http://nullCamp_Halfblood", RDF_TYPE, EX_ONT + "Place"),
+            # over-long URI → dropped (RDFTripleParser.java:205-215)
+            ("http://example.org/" + "x" * 150, RDF_TYPE, EX_ONT + "Place"),
+        ],
+        "s string, p string, o string",
+    )
+    dat = spark.createDataFrame(
+        [
+            (EX_INST + "Percy_Jackson", RDFS_LABEL, "Percy Jackson"),
+            ("http://nullCamp_Halfblood", RDFS_LABEL, "Camp Halfblood"),
+            # literal cleansing: strip \n \t " and trim (RDFTripleParser.java:229-234)
+            (EX_INST + "Percy_Jackson", RDFS_LABEL, ' Percy\t"Jackson"\n '),
+            # too short / too long literals dropped
+            (EX_INST + "Percy_Jackson", RDFS_LABEL, "P"),
+            (EX_INST + "Percy_Jackson", RDFS_LABEL, "y" * 150),
+        ],
+        "s string, p string, literal string",
+    )
+    return obj, dat
+
+
+def test_cleansing(spark, string_triples):
+    obj, dat = string_triples
+    obj_c, dat_c = cleanse_triples(obj, dat)
+    assert obj_c.count() == 3
+    lits = {r[0] for r in dat_c.select("literal").collect()}
+    assert lits == {"Percy Jackson", "Camp Halfblood", "PercyJackson"}
+
+
+def test_build_kb_round_trip(spark, string_triples):
+    obj, dat = string_triples
+    kb = build_kb_from_string_triples(spark, obj, dat)
+
+    # dictionary ids are dense, deterministic (sorted by uri/literal)
+    uris = [r["uri"] for r in kb.resources.orderBy("id").collect()]
+    assert uris == sorted(uris)
+    ids = [r["id"] for r in kb.resources.orderBy("id").collect()]
+    assert ids == list(range(len(ids)))
+
+    # prefix = java hash of lowercased 4-char prefix
+    for r in kb.literals.collect():
+        assert r["prefix"] == java_hash_prefix_py(r["literal"].lower()[:4])
+
+    # encode → decode round-trip reproduces the cleansed string triples
+    r = kb.resources
+    decoded = (
+        kb.relations.join(r.withColumnRenamed("id", "s").withColumnRenamed("uri", "su"), "s")
+        .join(r.withColumnRenamed("id", "p").withColumnRenamed("uri", "pu"), "p")
+        .join(r.withColumnRenamed("id", "o").withColumnRenamed("uri", "ou"), "o")
+        .select("su", "pu", "ou")
+    )
+    got = {tuple(x) for x in decoded.collect()}
+    obj_c, _ = cleanse_triples(obj, dat)
+    assert got == {tuple(x) for x in obj_c.collect()}
+
+    # symbols belief=1.0 (PostgresKB.java:1164-1175)
+    assert all(r["belief"] == 1.0 for r in kb.symbols.collect())
+
+
+def test_micro_kb_matches_testdb_shape(spark):
+    kb = micro_kb(spark)
+    assert kb.resources.count() == 8
+    assert kb.literals.count() == 2
+    assert kb.relations.count() == 3
+    assert kb.symbols.count() == 2
+    assert kb.rdf_type_id == 6
+    # gazetteer join shape (PostgresKB.getDatatypePropertyValues)
+    gaz = {(r["literal"], r["prop_id"]) for r in kb.gazetteer().collect()}
+    assert gaz == {("Camp Halfblood", 7), ("Percy Jackson", 7)}
+
+
+def test_parse_ntriples(spark, tmp_path):
+    nt = tmp_path / "dump.nt"
+    nt.write_text(
+        '<http://a> <http://p> <http://b> .\n'
+        '<http://a> <http://www.w3.org/2000/01/rdf-schema#label> "A \\"quoted\\" thing" .\n'
+        '<http://a> <http://label> "typed"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
+        '<http://a> <http://label> "lang"@en .\n'
+        "# a comment line\n"
+        "malformed line\n"
+    )
+    obj, dat = parse_ntriples(spark, str(nt))
+    assert [tuple(r) for r in obj.collect()] == [("http://a", "http://p", "http://b")]
+    lits = {r["literal"] for r in dat.collect()}
+    assert lits == {'A "quoted" thing', "typed", "lang"}

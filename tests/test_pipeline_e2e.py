@@ -1,0 +1,74 @@
+"""End-to-end micro-fixture parity: the P/R gate (FIXTURES.md §E).
+
+The micro corpus replays the reference's frozen test KB
+(scoobie/testdb.script) through the full B1-B25 pipeline and must
+reproduce the golden triple set exactly (P = R = 1.0 ≥ 0.95 target).
+"""
+
+import pytest
+
+from scoobie_spark.fixtures import MICRO_EXPECTED_TRIPLES, micro_docs, micro_kb
+from scoobie_spark.pipeline import (
+    PipelineConfig,
+    Sha256MismatchError,
+    extract_triples,
+    precision_recall,
+)
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    docs = micro_docs(spark)
+    kb = micro_kb(spark)
+    return extract_triples(spark, docs, kb).cache()
+
+
+def test_micro_triple_set_exact(spark, triples):
+    got = sorted(
+        {
+            (r["graph"], r["subj"], r["pred"], r["obj"])
+            for r in triples.collect()
+        }
+    )
+    assert got == MICRO_EXPECTED_TRIPLES
+
+
+def test_micro_precision_recall(spark, triples):
+    expected = spark.createDataFrame(
+        MICRO_EXPECTED_TRIPLES, "graph string, subj string, pred string, obj string"
+    )
+    pr = precision_recall(triples, expected)
+    assert pr["precision"] == 1.0
+    assert pr["recall"] == 1.0
+
+
+def test_sha256_invariant_enforced(spark):
+    docs = micro_docs(spark)
+    corrupted = docs.withColumn(
+        "sha256",
+        # flip the hash of one row
+        __import__("pyspark").sql.functions.when(
+            docs.path == "docs/percy.txt", "0" * 64
+        ).otherwise(docs.sha256),
+    )
+    kb = micro_kb(spark)
+    with pytest.raises(Sha256MismatchError):
+        extract_triples(spark, corrupted, kb)
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """north_rule resumability: second run with the same checkpoint dir
+    reuses stage outputs and produces the identical triple set."""
+    docs = micro_docs(spark)
+    kb = micro_kb(spark)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path))
+    t1 = extract_triples(spark, docs, kb, cfg)
+    rows1 = {tuple(r) for r in t1.select("graph", "subj", "pred", "obj").collect()}
+    stages1 = [m["stage"] for m in cfg.metrics]
+    assert "triples" in stages1 and "mentions" in stages1
+
+    cfg2 = PipelineConfig(checkpoint_dir=str(tmp_path))
+    t2 = extract_triples(spark, docs, kb, cfg2)
+    rows2 = {tuple(r) for r in t2.select("graph", "subj", "pred", "obj").collect()}
+    assert rows1 == rows2
+    assert (tmp_path / "metrics.jsonl").exists()
