@@ -1,0 +1,78 @@
+"""Benchmark entry — prints ONE JSON line with per-query wall times.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     BENCH_QUERIES (comma list to subset).
+
+Headline metric: total seconds over the benchmark suite; also reports
+triples/sec for the flagship KG-construction pipeline (the
+BASELINE.json target metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "flagship_triples",
+    "tpch_q1",
+    "tpch_q5like",
+    "a12_cardinalities",
+    "a13_markov",
+    "b3_token_counts",
+    "b9_phrase_spotting",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "quality_scores",
+    "events_sessionize",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    wanted = os.environ.get("BENCH_QUERIES")
+    names = wanted.split(",") if wanted else BENCH_QUERIES
+
+    from scoobie_spark import queries as q
+    from scoobie_spark.session import get_spark
+
+    spark = get_spark("scoobie_spark_bench")
+    qs = q.queries()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "flagship_triples":
+            extra["triples"] = n
+            extra["triples_per_sec"] = round(n / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

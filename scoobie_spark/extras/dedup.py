@@ -1,0 +1,329 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+* exact          — hash groupBy, keeper = min key per content hash
+* n-gram Jaccard — shingle explode + same-shingle equi-join + count
+                   ratio (inverted-index join, never a cross join)
+* MinHash + LSH  — fully JVM-side: xxhash64(shingle, seed_i) minimum
+                   per doc per seed → band buckets → bucket equi-join →
+                   exact Jaccard verify on candidates only
+* SimHash        — 64-bit fingerprint via numpy bit-votes (Arrow
+                   batches), near-dup = equal 16-bit band + Hamming ≤ r
+* embedding      — cosine near-dup via random-hyperplane LSH buckets,
+                   exact cosine verify inside buckets
+
+Scale notes: every candidate-generation step is an equi-join on a
+bucket key (shingle id, LSH band, hyperplane signature) so the shuffle
+volume is bounded by collision counts, not n². Hot shingles (stop-word
+n-grams) are the classic skew source — ``ngram_jaccard_pairs`` drops
+shingles above a document-frequency cap, which both de-skews the join
+and removes no-signal shingles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """(doc_id, keeper_id, content_hash): every row whose text appeared
+    before (keeper = min key per sha256 group). Rows where
+    doc_id == keeper_id are the survivors."""
+    h = F.sha2(F.col(text), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(F.col(key).alias("doc_id"), h)
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .select("doc_id", "keeper_id", "content_hash")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Word n-gram shingle table (doc_id, shingle) — distinct per doc.
+    Tokenization = lowercased word split; the shingle string is the
+    joined n-gram. JVM-side end to end."""
+    toks = F.split(F.lower(F.col(text)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(key).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs with n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: pairs sharing ≥1 shingle meet on the shingle
+    key; |A∩B| = count of shared shingles, |A∪B| = |A|+|B|−∩. Shingles
+    with document frequency > max_shingle_df are dropped (skew + noise
+    control — a shingle shared by thousands of docs identifies nothing).
+    """
+    sh = shingles(docs, n, key, text).cache()
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "shingle", "left_semi")
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("size", "size_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("size", "size_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, sig array<long>) — signature i = min over shingles of
+    xxhash64(shingle, seed=i). One groupBy with num_hashes JVM-side
+    min-aggregates; no Python in the loop."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard_est) near-dup pairs: band-bucket join over minhash
+    signatures, then signature-level Jaccard estimate filter.
+
+    bands × rows_per_band = num_hashes; the S-curve collision
+    probability at similarity s is 1−(1−s^r)^b. Estimated Jaccard =
+    fraction of agreeing signature positions (unbiased estimator).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = shingles(docs, n, key, text)
+    sig = minhash_signatures(sh, num_hashes).cache()
+
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(i * rows_per_band + j)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    l = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    r = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return cand.withColumn("jaccard_est", est).filter(
+        F.col("jaccard_est") >= threshold
+    ).select("a", "b", "jaccard_est")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: tokens hashed (stable FNV-1a via numpy),
+    per-bit ±1 votes, sign → bit. Arrow-batched numpy, no per-row Python."""
+    cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            out_id, out_sh = [], []
+            for doc_id, t in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = t.lower().split()
+                if not toks:
+                    out_id.append(doc_id)
+                    out_sh.append(0)
+                    continue
+                hs = np.array(
+                    [_fnv1a64(tok) for tok in set(toks)], dtype=np.uint64
+                )
+                bits = ((hs[:, None] & bitmask[None, :]) != 0).astype(np.int32)
+                votes = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                sh = (bitmask[votes > 0]).sum(dtype=np.uint64)
+                out_id.append(doc_id)
+                out_sh.append(np.int64(sh.astype(np.uint64).view(np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "simhash": pd.Series(out_sh, dtype="int64"),
+                }
+            )
+
+    return cols.mapInPandas(gen, _SIMHASH_SCHEMA)
+
+
+def _fnv1a64(s: str) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for bch in s.encode("utf-8"):
+        h = np.uint64((int(h) ^ bch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) via 16-bit band buckets: two hashes
+    within Hamming 3 agree on ≥1 of 4 bands (pigeonhole), so the bucket
+    join finds all such pairs without n²."""
+    sig = simhash(docs, **kw).cache()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    l = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    r = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_dupes(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine ≥ threshold) via random-hyperplane LSH: bucket =
+    sign-bit signature of n_planes seeded projections (numpy, Arrow
+    batches), exact cosine verify inside buckets only."""
+    dim = len(emb.select(vec).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+    cols = emb.select(F.col(key).alias("doc_id"), F.col(vec).alias("v"))
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "bucket": pd.Series([], dtype="int64"),
+                                    "v": pd.Series([], dtype="object")})
+                continue
+            m = np.stack(pdf["v"].values).astype(np.float32)
+            signs = (m @ planes) > 0
+            buckets = signs @ (1 << np.arange(n_planes))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "bucket": buckets.astype("int64"), "v": pdf["v"].values}
+            )
+
+    bucketed = cols.mapInPandas(bucketize, "doc_id long, bucket long, v array<float>")
+    l = bucketed.select(F.col("doc_id").alias("a"), F.col("bucket"), F.col("v").alias("va"))
+    r = bucketed.select(F.col("doc_id").alias("b"), F.col("bucket"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+        .distinct()
+    )

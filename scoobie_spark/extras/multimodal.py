@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns + typed metadata, processed by Arrow-batched UDFs.
+
+The container ships no codec libraries, so the *decode* step is a
+clearly-marked stub (deterministic fake features derived from the raw
+bytes) — the Spark-side contract is real and tested: schemas,
+``mapInPandas`` batch shapes, size-aware repartitioning, and the
+feature-table output layout match what a production decode stage
+(PIL/ffmpeg behind the same signatures) would use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image | audio | video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),    # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
+
+
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (i, kind, f"application/x-fake-{kind}", bytearray(payload), 64 + i, 48 + i, 1000 * (1 + i % 7))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_stub(payload: bytes) -> np.ndarray:
+    """STUB decoder — replace with PIL/ffmpeg in production.
+
+    Deterministic: 16 floats derived from byte statistics, so tests can
+    assert exact values. Raises on empty payload like a real decoder.
+    """
+    if not payload:
+        raise ValueError("decode_stub: empty payload")
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float32)
+    chunks = np.array_split(arr, 16)
+    return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32) / 255.0
+
+
+def extract_features(media: DataFrame, batch_target_bytes: int = 64 << 20) -> DataFrame:
+    """Decode + featurize media rows (Arrow batches). Before the UDF the
+    table is repartitioned by payload size so one partition of 4K videos
+    cannot straddle an executor's memory (the 100 TB concern; harmless
+    at test scale)."""
+    sized = media.withColumn("n_bytes", F.octet_length("payload"))
+    # spread payloads uniformly so a run of big videos can't pin one task
+    sized = sized.repartition(F.xxhash64("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p).tolist() for p in pdf["payload"].values]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return sized.select("media_id", "kind", "n_bytes", "payload").mapInPandas(
+        gen, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame-sampling *plan*: (media_id, frame_ts_ms) rows via
+    JVM-side sequence/explode — the decode of each frame would consume
+    this plan in the same Arrow pass as extract_features."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

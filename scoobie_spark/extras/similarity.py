@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, JVM-side ``zip_with``/``aggregate``
+  dot products, window top-k. The correctness baseline.
+* :func:`ivf_topk` — the scale path: k-means-style coarse quantizer
+  (seeded, trained on a deterministic sample driver-side), corpus
+  assigned to nearest centroid (Arrow/numpy), queries probe
+  ``n_probe`` nearest cells only → candidate set shrinks by
+  ~n_cells/n_probe before the exact re-rank.
+
+At 100 TB the IVF variant is the only sane plan: the centroid
+assignment is a narrow map, the index table is partitioned by cell id,
+and a query touches n_probe partitions instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank ≤ k) — exact, broadcast
+    queries × corpus, JVM-side arithmetic only."""
+    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"))
+    q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Deterministic mini k-means on a fixed-size sample (driver-side —
+    centroids are the broadcastable model, like any ANN index's coarse
+    quantizer)."""
+    rows = corpus.select(vec).limit(sample).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float32) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-9)
+    return cents
+
+
+def assign_cells(df: DataFrame, cents: np.ndarray, key: str, vec: str) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"id": pd.Series([], dtype="int64"),
+                     "cell": pd.Series([], dtype="int32"),
+                     "v": pd.Series([], dtype="object")}
+                )
+                continue
+            m = np.stack(pdf["v"].values).astype(np.float32)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-9)
+            cell = (m @ cents.T).argmax(axis=1).astype("int32")
+            yield pd.DataFrame({"id": pdf["id"].values, "cell": cell, "v": pdf["v"].values})
+
+    cols = df.select(F.col(key).alias("id"), F.col(vec).alias("v"))
+    return cols.mapInPandas(gen, "id long, cell int, v array<float>")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest cells per query,
+    exact cosine re-rank inside them. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    if cents is None:
+        cents = train_centroids(corpus, n_cells=n_cells, vec=vec)
+    indexed = assign_cells(corpus, cents, key, vec).withColumnRenamed("id", "neighbor_id")
+
+    # query → its n_probe nearest cells (tiny, driver/broadcast side)
+    qrows = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qid, cell, v = [], [], []
+            for q, qv in zip(pdf["query_id"].values, pdf["qv"].values):
+                x = np.asarray(qv, dtype=np.float32)
+                x = x / max(np.linalg.norm(x), 1e-9)
+                order = np.argsort(-(cents @ x))[:n_probe]
+                for c in order:
+                    qid.append(q)
+                    cell.append(int(c))
+                    v.append(qv)
+            yield pd.DataFrame(
+                {"query_id": pd.Series(qid, dtype="int64"),
+                 "cell": pd.Series(cell, dtype="int32"),
+                 "qv": pd.Series(v, dtype="object")}
+            )
+
+    probes = qrows.mapInPandas(probe, "query_id long, cell int, qv array<float>")
+
+    scored = indexed.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,145 @@
+"""Dedup / similarity / textstats / multimodal operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scoobie_spark.extras import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different content about spark shuffles and partitions everywhere"),
+        (4, "el rápido zorro marrón salta sobre el perro y corre con la luna por la noche"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    d = {r["doc_id"]: r["keeper_id"] for r in dedup.exact_duplicates(docs).collect()}
+    assert d[1] == 0 and d[0] == 0
+    assert d[2] == 2 and d[3] == 3
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs        # identical
+    assert (0, 2) in pairs        # one word changed
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard_est"]
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash(spark, docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in dedup.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16).astype("float32")
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(16).astype("float32")).tolist()),  # near dup
+        (2, (-base).tolist()),  # opposite
+        (3, rng.standard_normal(16).astype("float32").tolist()),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dupes(spark, emb):
+    pairs = {(r["a"], r["b"]) for r in dedup.embedding_near_dupes(emb, threshold=0.9, n_planes=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_cosine_topk_exact(spark, emb):
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 1  # nearest neighbor of 0 is 1
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_ivf_matches_bruteforce_top1(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(emb, q, k=1, n_cells=4, n_probe=4).collect()
+    }
+    # probing all cells ⇒ IVF == brute force
+    assert approx == exact
+
+
+def test_quality_scores(spark, docs):
+    q = {r["doc_id"]: r for r in textstats.quality_scores(docs).collect()}
+    assert q[0]["n_tokens"] == 14
+    assert q[0]["stopword_ratio"] > 0.2      # 'the' ×2, 'over', 'and'
+    assert q[4]["stopword_ratio"] < q[0]["stopword_ratio"]
+    assert q[5]["n_tokens"] == 0
+
+
+def test_token_counts(spark, docs):
+    t = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert t[0]["ws_tokens"] == 14
+    assert t[0]["bpe_tokens"] >= t[0]["ws_tokens"]
+    assert t[5]["ws_tokens"] == 0
+
+
+def test_language_id(spark, docs):
+    l = {r["doc_id"]: r["lang_guess"] for r in textstats.language_id(docs).collect()}
+    assert l[0] == "en"
+    assert l[4] == "es"
+    assert l[5] == "und"
+
+
+def test_fingerprints(spark, docs):
+    fp = {r["doc_id"]: r for r in textstats.fingerprints(docs).collect()}
+    assert fp[0]["fingerprint"] == fp[1]["fingerprint"]  # identical docs
+    assert fp[0]["fingerprint"] != fp[3]["fingerprint"]
+    assert fp[5]["fp_count"] == 0
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # determinism: same media_id → same features on re-run
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert again[0] == rows[0]["feature"] or again[rows[0]["media_id"]] == rows[0]["feature"]
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthesize_media(spark, n=9)
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    rows = plan.groupBy("media_id").count().collect()
+    assert rows and all(r["count"] >= 1 for r in rows)
