@@ -194,14 +194,63 @@ def synth_kb_rows(n_instances: int):
     return res_triples, sym_triples
 
 
-def synth_kb(spark: SparkSession, n_instances: int = 200):
-    """Synthetic KB → dictionary-encoded via the real ETL path (A6-A9)."""
+def synth_kb(spark: SparkSession, n_instances: int = 200, via_etl: bool = False):
+    """Synthetic KB, dictionary-encoded.
+
+    via_etl=True exercises the real distributed ETL path (A6-A9 —
+    covered by tests); the default encodes driver-side (the synthetic KB
+    is tiny and the ETL's ~8 Spark jobs of fixed latency would dominate
+    small benchmark runs). Both paths produce the same tables."""
     from .kb.etl import build_kb_from_string_triples
+    from .kb.model import KB
 
     res_triples, sym_triples = synth_kb_rows(n_instances)
-    obj = spark.createDataFrame(res_triples, "s string, p string, o string")
-    dat = spark.createDataFrame(sym_triples, "s string, p string, literal string")
-    return build_kb_from_string_triples(spark, obj, dat)
+    if via_etl:
+        obj = spark.createDataFrame(res_triples, "s string, p string, o string")
+        dat = spark.createDataFrame(sym_triples, "s string, p string, literal string")
+        return build_kb_from_string_triples(spark, obj, dat)
+
+    # driver-side encode, same id discipline (row_number over sorted uri)
+    uris = sorted(
+        {u for t in res_triples for u in t}
+        | {t[0] for t in sym_triples}
+        | {t[1] for t in sym_triples}
+    )
+    uid = {u: i for i, u in enumerate(uris)}
+    lits = sorted({t[2] for t in sym_triples})
+    lid = {l: i for i, l in enumerate(lits)}
+    resources = spark.createDataFrame(list(enumerate(uris)), "id long, uri string")
+    literals = spark.createDataFrame(
+        [(i, l, java_hash_prefix_py(l.lower())) for l, i in lid.items()],
+        "id long, literal string, prefix int",
+    )
+    relations = spark.createDataFrame(
+        sorted({(uid[s], uid[p], uid[o]) for s, p, o in res_triples}),
+        "s long, p long, o long",
+    )
+    symbols = spark.createDataFrame(
+        sorted({(uid[s], uid[p], lid[l], 1.0) for s, p, l in sym_triples}),
+        "s long, p long, lit long, belief double",
+    )
+    return KB(resources=resources, literals=literals, relations=relations, symbols=symbols)
+
+
+def replicate_corpus(corpus: DataFrame, factor: int) -> DataFrame:
+    """Deterministically replicate a corpus ×factor (distinct (path,
+    commit) per replica, same content → sha256 stays valid). Used to
+    scale the bench workload into compute-dominated territory for the
+    N-vs-4N parallelism efficiency measurement."""
+    if factor <= 1:
+        return corpus
+    reps = corpus.sparkSession.range(factor).select(F.col("id").alias("rep"))
+    return (
+        corpus.crossJoin(F.broadcast(reps))
+        .withColumn("path", F.concat_ws("#", "path", F.col("rep").cast("string")))
+        .withColumn(
+            "commit", F.sha2(F.concat_ws("#", "commit", F.col("rep").cast("string")), 256).substr(1, 40)
+        )
+        .drop("rep")
+    )
 
 
 _FILLER = (
@@ -216,6 +265,7 @@ def synth_corpus(
     n_docs: int = 1000,
     n_instances: int = 200,
     giant_repo_fraction: int = 3,
+    filler_repeat: int = 1,
 ) -> DataFrame:
     """Repo-file corpus with planted KB labels, input_hint shape.
 
@@ -277,7 +327,9 @@ def synth_corpus(
         F.lit("was seen near"),
         F.coalesce(F.col("label2"), F.lit("nothing")),
         F.lit("."),
-        F.substring(F.col("text"), 1, 200),
+        # filler_repeat grows per-doc text volume (real corpora are
+        # KB-size docs, mostly mention-free text)
+        F.repeat(F.substring(F.col("text"), 1, 200), filler_repeat),
         F.when(F.pmod(k, 7) == 0, F.lower(F.col("label1"))).otherwise(F.lit("")),
         F.when(F.pmod(k, 11) == 0, F.split(F.col("label3"), " ").getItem(0)).otherwise(
             F.coalesce(F.col("label3"), F.lit(""))

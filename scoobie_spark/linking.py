@@ -135,86 +135,234 @@ def components(edges: DataFrame) -> DataFrame:
     return edges.groupBy("doc_id").applyInPandas(_components_per_doc, _COMP_SCHEMA)
 
 
-def disambiguate(candidates: DataFrame, kb: KB) -> DataFrame:
-    """B16-B21 composed: returns the resolved candidate table (losing
-    subjects of ambiguous components removed)."""
-    edges = literal_edges(candidates).cache()
-    comps = components(edges).cache()
+def _resolve_one(
+    phrases: list,
+    lit_nodes: list,
+    subjects_arr: list,
+    e_src: list,
+    e_dst: list,
+    e_dir: list,
+    e_anchor: list,
+    resolver: str,
+) -> set[int]:
+    """One document's B16-B21 over plain python/numpy arrays → the set
+    of LOSER subjects to drop. A document's mention graph is tens of
+    nodes, so per-doc python beats a dozen cluster-wide shuffles."""
+    import numpy as np
 
-    subj_comp = comps.filter(F.col("node") >= 0).select(
-        "doc_id", F.col("node").alias("subject"), "component"
-    )
-    comp_sizes = subj_comp.groupBy("doc_id", "component").agg(
-        F.countDistinct("subject").alias("n_subjects")
-    )
-    subj_comp = subj_comp.join(comp_sizes, ["doc_id", "component"])
+    # B16 — bipartite edges grouped by lowercased surface phrase
+    phrase_lits: dict[str, set[int]] = {}
+    phrase_subj: dict[str, set[int]] = {}
+    for ph, ln, sj in zip(phrases, lit_nodes, subjects_arr):
+        phrase_lits.setdefault(ph, set()).add(ln)
+        phrase_subj.setdefault(ph, set()).add(sj)
+    bip_edges = [
+        (ln, sj)
+        for ph, subs in phrase_subj.items()
+        for sj in subs
+        for ln in phrase_lits[ph]
+    ]
 
-    ambiguous = subj_comp.filter(F.col("n_subjects") > 1)
-    unambiguous = subj_comp.filter(F.col("n_subjects") == 1)
+    # B17 — union-find
+    parent: dict[int, int] = {}
 
-    # B18 — KB expansion, batched: forward from unambiguous subjects
-    # (skip rdf:type), backward into ambiguous ones.
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in bip_edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    subjects = sorted(set(subjects_arr))
+    comp_subjects: dict[int, list[int]] = {}
+    for s in subjects:
+        comp_subjects.setdefault(find(s), []).append(s)
+    ambiguous_subjects = {s for ss in comp_subjects.values() if len(ss) > 1 for s in ss}
+    if not ambiguous_subjects:
+        return set()
+
+    # B18 — doc graph: literal edges + forward edges of unambiguous
+    # anchors + backward edges into ambiguous anchors
+    # (traverseForward/Backward, EntityDisambiguation.java:409-465)
+    graph_edges = list(bip_edges)
+    if e_src:
+        subj_set = set(subjects)
+        kept = set()
+        for a, b, d, anc in zip(e_src, e_dst, e_dir, e_anchor):
+            if (d == "f") != (anc in ambiguous_subjects):
+                kept.add((a, b))
+        # B19 — prune intermediates (non-candidate, non-literal) deg ≤ 1
+        deg_map: dict[int, int] = {}
+        for a, b in kept:
+            deg_map[a] = deg_map.get(a, 0) + 1
+            deg_map[b] = deg_map.get(b, 0) + 1
+        graph_edges.extend(
+            (a, b)
+            for a, b in kept
+            if (a in subj_set or a < 0 or deg_map[a] >= 2)
+            and (b in subj_set or b < 0 or deg_map[b] >= 2)
+        )
+
+    # B20 — resolver scores over the doc graph
+    in_deg: dict[int, int] = {}
+    out_deg: dict[int, int] = {}
+    for a, b in graph_edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+        in_deg[b] = in_deg.get(b, 0) + 1
+
+    if resolver == "degree":  # production default (Scoobie.java:97-98)
+        score = {s: in_deg.get(s, 0) + out_deg.get(s, 0) for s in subjects}
+    elif resolver == "flow":  # min(in, out) (FlowBasedResolver.java:41-80)
+        score = {s: min(in_deg.get(s, 0), out_deg.get(s, 0)) for s in subjects}
+    elif resolver in ("pagerank", "hub", "authority"):
+        nodes = sorted({n for e in graph_edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        adj = np.zeros((len(nodes), len(nodes)), dtype=np.float64)
+        for a, b in graph_edges:
+            adj[idx[a], idx[b]] = 1.0
+        if resolver == "pagerank":  # alpha=0.1 (PageRankBasedResolver.java:44-85)
+            outs = np.maximum(adj.sum(axis=1), 1.0)
+            r = np.ones(len(nodes))
+            for _ in range(15):
+                r = 0.1 + 0.9 * (adj.T @ (r / outs))
+            vals = r
+        else:  # HITS (HubBasedResolver / AuthorityBasedResolver)
+            h = np.ones(len(nodes))
+            a_s = np.ones(len(nodes))
+            for _ in range(10):
+                a_s = adj.T @ h
+                a_s /= max(np.linalg.norm(a_s), 1e-12)
+                h = adj @ a_s
+                h /= max(np.linalg.norm(h), 1e-12)
+            vals = h if resolver == "hub" else a_s
+        score = {s: float(vals[idx[s]]) if s in idx else 0.0 for s in subjects}
+    else:
+        raise ValueError(f"unknown resolver: {resolver}")
+
+    # winner per ambiguous component: max score, tie → min subject id
+    # (reference keeps a single argmax, EntityDisambiguation.resolve:179-218)
+    losers: set[int] = set()
+    for ss in comp_subjects.values():
+        if len(ss) > 1:
+            winner = max(ss, key=lambda s: (score.get(s, 0), -s))
+            losers.update(s for s in ss if s != winner)
+    return losers
+
+
+def _resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Batch form: cand/edges hold MANY complete documents (sorted by
+    doc_id). Per-doc slices feed :func:`_resolve_one`; only the loser
+    rows are dropped."""
+    import numpy as np
+
+    if len(cand) == 0:
+        return cand.iloc[0:0].drop(columns=["__resolver"], errors="ignore")
+    resolver = cand["__resolver"].iloc[0]
+    cand = cand.drop(columns=["__resolver"])
+
+    doc = cand["doc_id"].values
+    phrases = cand["surface"].str.lower().values
+    lit_nodes = (-(cand["lit_id"].astype("int64") + 1)).values
+    subjects = cand["subject"].values.astype("int64")
+
+    e_doc = edges["doc_id"].values if len(edges) else np.array([], dtype="int64")
+    e_src = edges["src"].values if len(edges) else []
+    e_dst = edges["dst"].values if len(edges) else []
+    e_dir = edges["dir"].values if len(edges) else []
+    e_anc = edges["anchor"].values if len(edges) else []
+
+    keep = np.ones(len(cand), dtype=bool)
+    # per-doc slices: cand sorted by doc_id; edges located via searchsorted
+    c_bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1], True])
+    e_sorted = np.argsort(e_doc, kind="stable") if len(edges) else None
+    e_doc_sorted = e_doc[e_sorted] if len(edges) else e_doc
+    for k in range(len(c_bounds) - 1):
+        i0, i1 = c_bounds[k], c_bounds[k + 1]
+        d = doc[i0]
+        if len(edges):
+            j0, j1 = np.searchsorted(e_doc_sorted, d, "left"), np.searchsorted(
+                e_doc_sorted, d, "right"
+            )
+            sel = e_sorted[j0:j1]
+            es, ed_, edir, eanc = (
+                e_src[sel].tolist(),
+                e_dst[sel].tolist(),
+                e_dir[sel].tolist(),
+                e_anc[sel].tolist(),
+            )
+        else:
+            es = ed_ = edir = eanc = []
+        losers = _resolve_one(
+            phrases[i0:i1].tolist(),
+            lit_nodes[i0:i1].tolist(),
+            subjects[i0:i1].tolist(),
+            es,
+            ed_,
+            edir,
+            eanc,
+            resolver,
+        )
+        if losers:
+            for i in range(i0, i1):
+                if subjects[i] in losers:
+                    keep[i] = False
+    return cand[keep]
+
+
+def expansion_edges(candidates: DataFrame, kb: KB) -> DataFrame:
+    """B18 join half: per doc, outgoing relations of every candidate
+    subject (dir='f', skipping rdf:type like traverseForward:437-465)
+    and incoming relations of every candidate subject (dir='b'). The
+    per-doc ambiguity filter happens inside :func:`_resolve_doc` —
+    fetching the superset keeps this a pair of plain equi-joins."""
     type_id = kb.rdf_type_id
     rel = kb.relations if type_id is None else kb.relations.filter(F.col("p") != type_id)
-
+    cand_subj = candidates.select("doc_id", "subject").distinct()
     fwd = (
-        unambiguous.select("doc_id", F.col("subject").alias("s"))
-        .join(rel, "s")
-        .select("doc_id", F.col("s").alias("src"), F.col("o").alias("dst"))
+        cand_subj.join(rel, cand_subj.subject == rel.s)
+        .select(
+            F.col("doc_id").alias("e_doc_id"),
+            F.col("s").alias("src"),
+            F.col("o").alias("dst"),
+            F.lit("f").alias("dir"),
+            F.col("subject").alias("anchor"),
+        )
     )
     bwd = (
-        ambiguous.select("doc_id", F.col("subject").alias("o"))
-        .join(rel, "o")
-        .select("doc_id", F.col("s").alias("src"), F.col("o").alias("dst"))
+        cand_subj.join(rel, cand_subj.subject == rel.o)
+        .select(
+            F.col("doc_id").alias("e_doc_id"),
+            F.col("s").alias("src"),
+            F.col("o").alias("dst"),
+            F.lit("b").alias("dir"),
+            F.col("subject").alias("anchor"),
+        )
     )
-    kb_edges = fwd.unionByName(bwd).distinct()
+    return fwd.unionByName(bwd)
 
-    # B19 — prune: non-candidate, non-literal endpoints need degree ≥ 2.
-    all_subjects = subj_comp.select("doc_id", F.col("subject").alias("node")).distinct()
-    endpoint_deg = (
-        kb_edges.select("doc_id", F.col("src").alias("node"))
-        .unionByName(kb_edges.select("doc_id", F.col("dst").alias("node")))
-        .groupBy("doc_id", "node")
-        .agg(F.count("*").alias("deg"))
-    )
-    intermediates_ok = (
-        endpoint_deg.join(all_subjects, ["doc_id", "node"], "left_anti")
-        .filter(F.col("deg") >= 2)
-        .select("doc_id", "node")
-    )
-    keep_nodes = all_subjects.unionByName(intermediates_ok)
 
-    kb_edges_pruned = (
-        kb_edges.join(
-            keep_nodes.withColumnRenamed("node", "src"), ["doc_id", "src"], "left_semi"
-        ).join(keep_nodes.withColumnRenamed("node", "dst"), ["doc_id", "dst"], "left_semi")
-    )
+def disambiguate(candidates: DataFrame, kb: KB, resolver: str = "degree") -> DataFrame:
+    """B16-B21 composed: returns the resolved candidate table (losing
+    subjects of ambiguous components removed).
 
-    # B20 — degree per subject over literal + pruned KB edges.
-    graph_edges = edges.unionByName(kb_edges_pruned)
-    degrees = (
-        graph_edges.select("doc_id", F.col("src").alias("node"))
-        .unionByName(graph_edges.select("doc_id", F.col("dst").alias("node")))
-        .filter(F.col("node") >= 0)
-        .groupBy("doc_id", "node")
-        .agg(F.count("*").alias("degree"))
-        .withColumnRenamed("node", "subject")
-    )
+    Physical plan: two equi-joins against ``relations`` (the KB graph
+    expansion) + ONE cogrouped Arrow stage doing all per-document graph
+    work. resolver ∈ {degree, flow, pagerank, hub, authority} — degree
+    is the reference's production default (Scoobie.java:97-98)."""
+    from .grouped import cogrouped_apply
 
-    scored = ambiguous.join(degrees, ["doc_id", "subject"], "left").fillna(
-        0, subset=["degree"]
+    edges = expansion_edges(candidates, kb)
+    tagged = candidates.withColumn("__resolver", F.lit(resolver))
+    return cogrouped_apply(
+        tagged, edges, "doc_id", "e_doc_id", _resolve_doc, CANDIDATES_SCHEMA,
+        batch_mode=True,
     )
-    w = Window.partitionBy("doc_id", "component").orderBy(
-        F.col("degree").desc(), F.col("subject").asc()
-    )
-    winners = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-
-    keep_subjects = unambiguous.select("doc_id", "subject").unionByName(
-        winners.select("doc_id", "subject")
-    )
-
-    # B21 — drop losers' annotations (Document.removeUnresolvedSubjects).
-    return candidates.join(keep_subjects, ["doc_id", "subject"], "left_semi")
 
 
 def canonical_uri_map(resources: DataFrame) -> DataFrame:

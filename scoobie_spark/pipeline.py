@@ -41,9 +41,19 @@ class PipelineConfig:
     checkpoint_dir: str | None = None
     check_sha256: bool = True
     recommend: bool = False            # B24 (needs markov stats)
+    resolver: str = "degree"           # B20 strategy (degree|flow|pagerank|hub|authority)
     salt_partitions: int | None = None  # docs repartition width
     markov_chain: DataFrame | None = None
     type_clusters: DataFrame | None = None
+    # stages that get a lineage cut / durable checkpoint. Only stages
+    # consumed by MULTIPLE downstream operators need one; single-consumer
+    # stages fuse into their consumer's job (fewer job barriers = less
+    # fixed overhead per run). 'resolved' feeds recognized/known/types.
+    cut_stages: tuple = ("resolved",)
+    # cut the KB tables' lineage up front (needed for ETL-built KBs whose
+    # plans would otherwise be re-embedded by every stage; a KB made of
+    # local/in-memory relations can skip it)
+    materialize_kb: bool = True
     metrics: list = field(default_factory=list)
 
 
@@ -62,6 +72,8 @@ def _stage(cfg: PipelineConfig, name: str, df: DataFrame, spark: SparkSession) -
     Catalyst OOMs building the explain string long before any data
     pressure)."""
     if not cfg.checkpoint_dir:
+        if name not in cfg.cut_stages:
+            return df
         t0 = time.time()
         out = df.localCheckpoint()
         cfg.metrics.append(
@@ -102,26 +114,31 @@ def extract_triples(
 ) -> DataFrame:
     """The flagship job: corpus + KB → (doc_id, graph, subj, pred, obj)."""
     cfg = cfg or PipelineConfig()
-    kb = kb.materialize()
+    if cfg.materialize_kb:
+        kb = kb.materialize()
 
-    # --- ingest + invariants + skew spreading -------------------------
-    if cfg.check_sha256 and "sha256" in docs.columns:
-        checked = check_sha256(docs)
-        assert_sha256(checked)
+    # --- ingest + skew spreading ---------------------------------------
+    # sha256 invariant is enforced INSIDE the candidates Arrow pass
+    # (textproc.suffix_candidates) — no separate corpus scan.
     n_parts = cfg.salt_partitions or spark.sparkContext.defaultParallelism * 2
     docs = docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
-    docs = textproc.with_doc_id(docs).cache()
+    docs = textproc.with_doc_id(docs)
 
     # --- B1-B9: candidates + gazetteer join ---------------------------
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
     candidates = _stage(
-        cfg, "candidates", textproc.suffix_candidates(docs, kb_prefixes), spark
+        cfg,
+        "candidates",
+        textproc.suffix_candidates(docs, kb_prefixes, check_sha256=cfg.check_sha256),
+        spark,
     )
     mentions = _stage(cfg, "mentions", spotting.spot(candidates, kb.gazetteer()), spark)
 
     # --- B15-B21: linking + disambiguation ----------------------------
     cand_subjects = _stage(cfg, "candidates_resolved", linking.resolve_instances(mentions, kb), spark)
-    resolved = _stage(cfg, "resolved", linking.disambiguate(cand_subjects, kb), spark).cache()
+    resolved = _stage(
+        cfg, "resolved", linking.disambiguate(cand_subjects, kb, cfg.resolver), spark
+    )
 
     # --- B22-B25: facts + triples --------------------------------------
     types = linking.subject_types(resolved, kb)

@@ -489,14 +489,25 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_flagship_triples(spark: SparkSession, sf: str) -> DataFrame:
     """The full B1-B25 KG-construction pipeline over a corpus derived
-    from the documents table (deterministic planted mentions)."""
-    from .fixtures import synth_corpus, synth_kb
-    from .pipeline import extract_triples
+    from the documents table (deterministic planted mentions).
+    SPARK_GRAFT_CORPUS_FACTOR replicates the corpus for compute-bound
+    scaling runs."""
+    import os
+
+    from .fixtures import replicate_corpus, synth_corpus, synth_kb
+    from .pipeline import PipelineConfig, extract_triples
 
     d = _T(spark, sf, "documents")
-    corpus = synth_corpus(spark, docs=d, n_instances=200)
-    kb = synth_kb(spark, n_instances=200)
-    return extract_triples(spark, corpus, kb)
+    corpus = synth_corpus(
+        spark,
+        docs=d,
+        n_instances=200,
+        filler_repeat=int(os.environ.get("SPARK_GRAFT_FILLER_REPEAT", "1")),
+    )
+    factor = int(os.environ.get("SPARK_GRAFT_CORPUS_FACTOR", "1"))
+    corpus = replicate_corpus(corpus, factor)
+    kb = synth_kb(spark, n_instances=200)  # driver-side local relations
+    return extract_triples(spark, corpus, kb, PipelineConfig(materialize_kb=False))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -106,7 +106,11 @@ def tokenize(docs: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, TOKENS_SCHEMA)
 
 
-def suffix_candidates(docs: DataFrame, kb_prefixes: "np.ndarray | set[int]") -> DataFrame:
+def suffix_candidates(
+    docs: DataFrame,
+    kb_prefixes: "np.ndarray | set[int]",
+    check_sha256: bool = False,
+) -> DataFrame:
     """B7 + the document half of B8: per token start, if the 4-char
     prefix hash (lowercase OR original case, SuffixArray.java:114-117)
     is in the KB literal-prefix set, emit a candidate
@@ -124,37 +128,98 @@ def suffix_candidates(docs: DataFrame, kb_prefixes: "np.ndarray | set[int]") -> 
     """
     prefix_arr = np.asarray(sorted(set(int(p) for p in kb_prefixes)), dtype=np.int64)
 
-    cols = docs.select("doc_id", "content")
+    sha_cols = ["sha256"] if check_sha256 and "sha256" in docs.columns else []
+    cols = docs.select("doc_id", "content", *sha_cols)
+
+    def doc_candidates(text: str):
+        """Vectorized per-doc candidate generation: token starts from the
+        regex, then numpy codepoint math for the alnum filter and the
+        two Java prefix hashes. Tokens whose 4-char prefix leaves ASCII
+        fall back to the exact python hash (unicode lowercasing)."""
+        starts = np.fromiter(
+            (m.start() for m in _TOKEN_RE.finditer(text)), dtype=np.int64
+        )
+        if len(starts) == 0:
+            return [], []
+        # codepoint array: 1 byte/char for ASCII text (4× less memory
+        # bandwidth than utf-32; corpora are overwhelmingly ASCII)
+        if text.isascii():
+            cp = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        else:
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.int64)])
+        first = cp_pad[starts]
+        ascii_alnum = (
+            ((first >= 48) & (first <= 57))
+            | ((first >= 65) & (first <= 90))
+            | ((first >= 97) & (first <= 122))
+        )
+        non_ascii = first > 127
+        # prefix window codepoints + availability
+        n_avail = np.minimum(4, len(cp) - starts)
+        win = np.stack([cp_pad[starts + k] for k in range(4)], axis=1)
+        pure_ascii_prefix = (win * (np.arange(4)[None, :] < n_avail[:, None]) <= 127).all(axis=1)
+
+        lo_win = np.where((win >= 65) & (win <= 90), win + 32, win)
+
+        def _hash(w):
+            h = np.zeros(len(starts), dtype=np.int64)
+            for k in range(4):
+                h = np.where(n_avail > k, h * 31 + w[:, k], h)
+            h &= 0xFFFFFFFF
+            return np.where(h >= 2**31, h - 2**32, h)
+
+        h_or = _hash(win)
+        h_lo = _hash(lo_win)
+
+        fast = ascii_alnum & pure_ascii_prefix
+        out_begin: list[int] = []
+        out_hash: list[int] = []
+        m_lo = fast & np.isin(h_lo, prefix_arr)
+        m_or = fast & (h_or != h_lo) & np.isin(h_or, prefix_arr)
+        out_begin.extend(starts[m_lo].tolist())
+        out_hash.extend(h_lo[m_lo].tolist())
+        out_begin.extend(starts[m_or].tolist())
+        out_hash.extend(h_or[m_or].tolist())
+
+        # exact python path for the rare non-ASCII-prefix tokens
+        slow_idx = np.nonzero(~fast & (ascii_alnum | non_ascii))[0]
+        pa = prefix_arr
+        for i in slow_idx:
+            a = int(starts[i])
+            if not text[a].isalnum():
+                continue
+            pref = text[a : a + 4]
+            hl, ho = java_hash_prefix_py(pref.lower()), java_hash_prefix_py(pref)
+            if np.isin(hl, pa):
+                out_begin.append(a)
+                out_hash.append(hl)
+            if ho != hl and np.isin(ho, pa):
+                out_begin.append(a)
+                out_hash.append(ho)
+        return out_begin, out_hash
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
+            if sha_cols:
+                # per-row content sha256 invariant (BASELINE.json input_hint),
+                # enforced inside the same Arrow pass — no extra corpus scan
+                for content, expected in zip(pdf["content"].values, pdf["sha256"].values):
+                    if hashlib.sha256(content.encode("utf-8")).hexdigest() != expected:
+                        raise RuntimeError(
+                            "sha256 invariant violated: content hash mismatch"
+                        )
             texts = _normalize_series(pdf["content"])
             out_doc, out_begin, out_hash, out_suffix = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"].values, texts.values):
-                starts = []
-                hashes = []
-                for m in _TOKEN_RE.finditer(text):
-                    a = m.start()
-                    if not text[a].isalnum():
-                        continue
-                    pref = text[a : a + 4]
-                    h_lo = java_hash_prefix_py(pref.lower())
-                    h_or = java_hash_prefix_py(pref)
-                    starts.append(a)
-                    hashes.append(h_lo)
-                    if h_or != h_lo:
-                        starts.append(a)
-                        hashes.append(h_or)
-                if not starts:
-                    continue
-                h = np.asarray(hashes, dtype=np.int64)
-                keep = np.isin(h, prefix_arr, assume_unique=False)
-                for a, hv, k in zip(starts, hashes, keep):
-                    if k:
-                        out_doc.append(doc_id)
-                        out_begin.append(a)
-                        out_hash.append(hv)
-                        out_suffix.append(text[a : a + MAX_SUFFIX_LEN])
+                begins, hashes = doc_candidates(text)
+                for a, hv in zip(begins, hashes):
+                    out_doc.append(doc_id)
+                    out_begin.append(a)
+                    out_hash.append(hv)
+                    out_suffix.append(text[a : a + MAX_SUFFIX_LEN])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),

@@ -52,8 +52,10 @@ def test_sha256_invariant_enforced(spark):
         ).otherwise(docs.sha256),
     )
     kb = micro_kb(spark)
-    with pytest.raises(Sha256MismatchError):
-        extract_triples(spark, corrupted, kb)
+    # the invariant is enforced inside the candidates Arrow pass; the
+    # executor-side failure surfaces as a PythonException mentioning sha256
+    with pytest.raises(Exception, match="sha256"):
+        extract_triples(spark, corrupted, kb).collect()
 
 
 def test_checkpoint_resume(spark, tmp_path):
