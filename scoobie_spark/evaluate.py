@@ -1,0 +1,86 @@
+"""Evaluation harness — SURVEY.md §3 E3 / §5.
+
+Reference protocol (``workflow/Evaluator.java:39-45`` + per-transducer
+``compare`` methods): per-document precision/recall of found vs
+ground-truth sets, and MAP (mean average precision) for ranked
+relevance output (``DoubleMatrix.averagePrecision``,
+DoubleMatrix.java:123-157). DataFrame form: ground truth is a table,
+P/R is two semi-join counts, AP is a window over the ranked list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def set_precision_recall(
+    found: DataFrame, truth: DataFrame, keys: list[str]
+) -> dict[str, float]:
+    """Global set P/R over ``keys`` (e.g. spotting: [doc, prop, literal];
+    instances: [doc, subject_uri])."""
+    f = found.select(*keys).distinct()
+    t = truth.select(*keys).distinct()
+    tp = f.join(t, keys, "left_semi").count()
+    nf, nt = f.count(), t.count()
+    return {
+        "precision": tp / nf if nf else 1.0,
+        "recall": tp / nt if nt else 1.0,
+        "tp": tp,
+        "found": nf,
+        "truth": nt,
+    }
+
+
+def per_doc_precision_recall(
+    found: DataFrame, truth: DataFrame, keys: list[str], doc_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document P/R rows (the reference logs one line per doc)."""
+    f = found.select(doc_col, *keys).distinct()
+    t = truth.select(doc_col, *keys).distinct()
+    tp = (
+        f.join(t, [doc_col, *keys], "left_semi")
+        .groupBy(doc_col)
+        .agg(F.count("*").alias("tp"))
+    )
+    nf = f.groupBy(doc_col).agg(F.count("*").alias("n_found"))
+    nt = t.groupBy(doc_col).agg(F.count("*").alias("n_truth"))
+    return (
+        nt.join(nf, doc_col, "full")
+        .join(tp, doc_col, "left")
+        .fillna(0)
+        .select(
+            doc_col,
+            (F.col("tp") / F.greatest(F.col("n_found"), F.lit(1))).alias("precision"),
+            (F.col("tp") / F.greatest(F.col("n_truth"), F.lit(1))).alias("recall"),
+        )
+    )
+
+
+def mean_average_precision(
+    ranked: DataFrame,
+    truth: DataFrame,
+    doc_col: str = "doc_id",
+    item_col: str = "subject",
+    score_col: str = "score",
+) -> float:
+    """MAP over per-doc ranked lists (DoubleMatrix.averagePrecision:
+    AP = mean over relevant ranks of precision@rank)."""
+    t = truth.select(doc_col, item_col).distinct().withColumn("rel", F.lit(1))
+    w = Window.partitionBy(doc_col).orderBy(F.col(score_col).desc(), F.col(item_col))
+    scored = (
+        ranked.join(t, [doc_col, item_col], "left")
+        .fillna(0, subset=["rel"])
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_rel", F.sum("rel").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("p_at_k", F.col("cum_rel") / F.col("rank"))
+    )
+    ap = (
+        scored.filter(F.col("rel") == 1)
+        .groupBy(doc_col)
+        .agg(F.avg("p_at_k").alias("ap"))
+    )
+    row = ap.agg(F.avg("ap").alias("map")).first()
+    return float(row["map"]) if row["map"] is not None else 0.0

@@ -42,6 +42,8 @@ class PipelineConfig:
     check_sha256: bool = True
     recommend: bool = False            # B24 (needs markov stats)
     resolver: str = "degree"           # B20 strategy (degree|flow|pagerank|hub|authority)
+    template: str | None = None        # SPARQL extraction template (O1 pushdown)
+    np_candidate_filter: bool = False  # B6 proper-name gate on candidate starts
     salt_partitions: int | None = None  # docs repartition width
     markov_chain: DataFrame | None = None
     type_clusters: DataFrame | None = None
@@ -129,13 +131,33 @@ def extract_triples(
     candidates = _stage(
         cfg,
         "candidates",
-        textproc.suffix_candidates(docs, kb_prefixes, check_sha256=cfg.check_sha256),
+        textproc.suffix_candidates(
+            docs,
+            kb_prefixes,
+            check_sha256=cfg.check_sha256,
+            np_filter=cfg.np_candidate_filter,
+        ),
         spark,
     )
-    mentions = _stage(cfg, "mentions", spotting.spot(candidates, kb.gazetteer()), spark)
+    gazetteer = kb.gazetteer()
+    ctx = None
+    if cfg.template:
+        from .filters import compile_template
+
+        ctx = compile_template(cfg.template, kb)
+        gazetteer = ctx.filter_gazetteer(gazetteer)
+    mentions = _stage(cfg, "mentions", spotting.spot(candidates, gazetteer), spark)
 
     # --- B15-B21: linking + disambiguation ----------------------------
-    cand_subjects = _stage(cfg, "candidates_resolved", linking.resolve_instances(mentions, kb), spark)
+    cand_subjects = linking.resolve_instances(mentions, kb)
+    if ctx and ctx.types:
+        # template type filter (FilterContext.getTypeIndexFilter): keep
+        # only candidate subjects carrying one of the requested rdf:types
+        typed = kb.relations.filter(
+            (F.col("p") == kb.rdf_type_id) & F.col("o").isin(*ctx.types)
+        ).select(F.col("s").alias("subject"))
+        cand_subjects = cand_subjects.join(typed, "subject", "left_semi")
+    cand_subjects = _stage(cfg, "candidates_resolved", cand_subjects, spark)
     resolved = _stage(
         cfg, "resolved", linking.disambiguate(cand_subjects, kb, cfg.resolver), spark
     )

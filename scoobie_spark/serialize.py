@@ -91,6 +91,58 @@ def ranked_subjects(resolved: DataFrame, scores: DataFrame, kb: KB) -> DataFrame
     )
 
 
+def rdfa_serialize(docs_with_id: DataFrame, resolved: DataFrame, kb: KB) -> DataFrame:
+    """B26 (postprocessor/RDFaSerializer.java:50-159): wrap the original
+    text in XHTML+RDFa spans per resolved mention → (doc_id, rdfa).
+
+    One join to attach per-doc mention arrays (collect_list of structs),
+    then an Arrow pass builds the markup string. Non-overlapping spans
+    are guaranteed by the longest-match filter (B10)."""
+    from pyspark.sql import functions as _F
+
+    spans = (
+        resolved.join(_uri(kb.resources, "subject", "subj_uri"), "subject")
+        .join(_uri(kb.resources, "prop_id", "prop_uri"), "prop_id")
+        .groupBy("doc_id")
+        .agg(
+            _F.sort_array(
+                _F.collect_list(_F.struct("begin", "end", "subj_uri", "prop_uri"))
+            ).alias("spans")
+        )
+    )
+    joined = docs_with_id.select("doc_id", "content").join(spans, "doc_id", "left")
+
+    def build(batches):
+        import html
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for text, sp in zip(pdf["content"].values, pdf["spans"].values):
+                if sp is None or (hasattr(sp, "__len__") and len(sp) == 0):
+                    out.append(html.escape(text))
+                    continue
+                parts, pos = [], 0
+                last_end = -1
+                for row in sp:
+                    b, e = int(row["begin"]), int(row["end"])
+                    if b < last_end:  # nested duplicate span (same range, 2 subjects)
+                        continue
+                    parts.append(html.escape(text[pos:b]))
+                    parts.append(
+                        f'<span about="{row["subj_uri"]}" property="{row["prop_uri"]}">'
+                        f"{html.escape(text[b:e])}</span>"
+                    )
+                    pos = e
+                    last_end = e
+                parts.append(html.escape(text[pos:]))
+                out.append("".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "rdfa": out})
+
+    return joined.mapInPandas(build, "doc_id long, rdfa string")
+
+
 def write_triples(triples: DataFrame, path: str) -> None:
     """Partitioned sink (Iceberg writeTo at cluster scale; parquet here)."""
     triples.write.mode("overwrite").partitionBy("graph").parquet(path)

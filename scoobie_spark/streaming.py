@@ -1,0 +1,89 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §1: no streaming operator
+anywhere), so streaming here is an *ingestion mode*, not a parity
+requirement: a corpus that arrives as files/Kafka can flow through the
+same extraction pipeline.
+
+* :func:`streaming_extract` — readStream source → ``foreachBatch`` that
+  runs the full batch pipeline per micro-batch and appends triples to a
+  partitioned sink. foreachBatch is the right tool because the pipeline
+  contains multi-stage joins and grouped-map stages that Structured
+  Streaming cannot express incrementally; each micro-batch is a bounded
+  DataFrame, so the whole operator library applies unchanged, and the
+  sink stays exactly-once under the streaming checkpoint.
+* :func:`windowed_event_counts` / :func:`sessionized_events` — native
+  incremental operators (watermark + tumbling window / session_window)
+  for the events-stream shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kb.model import KB
+from .pipeline import PipelineConfig, extract_triples
+
+
+def streaming_extract(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    kb: KB,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Run the KG-construction pipeline continuously over a streaming
+    corpus; returns the StreamingQuery. Triples append to
+    ``out_dir`` partitioned by graph; restart-safe via the streaming
+    checkpoint (per-batch idempotence comes from foreachBatch's batch_id
+    contract)."""
+    kb = kb.materialize()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cfg = PipelineConfig(materialize_kb=False)
+        triples = extract_triples(spark, batch_df, kb, cfg)
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("graph")
+            .parquet(out_dir)
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding-window counts per event_type —
+    works on both static and streaming DataFrames."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return df.groupBy(w.alias("win"), "event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """session_window-based sessionization (the streaming-native twin of
+    queries.q_events_sessionize)."""
+    df = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return df.groupBy(
+        F.session_window("ts", gap).alias("session"), "user_id"
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))

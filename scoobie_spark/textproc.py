@@ -110,6 +110,7 @@ def suffix_candidates(
     docs: DataFrame,
     kb_prefixes: "np.ndarray | set[int]",
     check_sha256: bool = False,
+    np_filter: bool = False,
 ) -> DataFrame:
     """B7 + the document half of B8: per token start, if the 4-char
     prefix hash (lowercase OR original case, SuffixArray.java:114-117)
@@ -149,11 +150,19 @@ def suffix_candidates(
             cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
         cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.int64)])
         first = cp_pad[starts]
-        ascii_alnum = (
-            ((first >= 48) & (first <= 57))
-            | ((first >= 65) & (first <= 90))
-            | ((first >= 97) & (first <= 122))
-        )
+        if np_filter:
+            # B6-analogue proper-name gate (SuffixArrayBuilder.
+            # filterNounPhrases): only capitalized/numeric token starts
+            # feed the gazetteer probe
+            ascii_alnum = ((first >= 48) & (first <= 57)) | (
+                (first >= 65) & (first <= 90)
+            )
+        else:
+            ascii_alnum = (
+                ((first >= 48) & (first <= 57))
+                | ((first >= 65) & (first <= 90))
+                | ((first >= 97) & (first <= 122))
+            )
         non_ascii = first > 127
         # prefix window codepoints + availability
         n_avail = np.minimum(4, len(cp) - starts)
@@ -187,7 +196,11 @@ def suffix_candidates(
         pa = prefix_arr
         for i in slow_idx:
             a = int(starts[i])
-            if not text[a].isalnum():
+            ch = text[a]
+            if np_filter:
+                if not (ch.isupper() or ch.isdigit()):
+                    continue
+            elif not ch.isalnum():
                 continue
             pref = text[a : a + 4]
             hl, ho = java_hash_prefix_py(pref.lower()), java_hash_prefix_py(pref)

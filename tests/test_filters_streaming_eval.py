@@ -1,0 +1,165 @@
+"""SPARQL-template filters (O1), streaming mode, evaluator, ratings,
+regex NER, alternate resolvers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scoobie_spark import evaluate, rating, regexner, streaming, textproc
+from scoobie_spark.filters import compile_template
+from scoobie_spark.fixtures import (
+    EX_INST,
+    EX_ONT,
+    RDFS_LABEL,
+    micro_docs,
+    micro_kb,
+)
+from scoobie_spark.pipeline import PipelineConfig, extract_triples
+
+
+TEMPLATE = f"""
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX ex: <{EX_ONT}>
+SELECT * WHERE {{
+  GRAPH <http://example#recognized> {{
+    ?s rdfs:label ?l .
+    ?s a ex:Person .
+    ?s ex:livesIn ?place .
+  }}
+}}
+"""
+
+
+def test_compile_template(spark):
+    kb = micro_kb(spark)
+    ctx = compile_template(TEMPLATE, kb)
+    assert ctx.datatype_properties == {7}        # rdfs:label
+    assert ctx.object_properties == {4}          # ex:livesIn
+    assert ctx.types == {2}                      # ex:Person
+    gaz = ctx.filter_gazetteer(kb.gazetteer())
+    assert gaz.count() == 2  # both literals are rdfs:label
+
+
+def test_template_pushdown_restricts_extraction(spark):
+    """A template naming a property absent from the KB symbols yields an
+    empty gazetteer → no recognized triples."""
+    kb = micro_kb(spark)
+    t = """
+    PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+    SELECT * WHERE { GRAPH <http://x#recognized> { ?s foaf:name "x" . } }
+    """
+    cfg = PipelineConfig(template=t)
+    out = extract_triples(spark, micro_docs(spark), kb, cfg)
+    assert out.count() == 0
+
+
+def test_resolver_variants_agree_on_micro(spark):
+    """All resolver strategies keep the micro fixture's unambiguous
+    resolution identical (no ambiguous components there)."""
+    docs, kb = micro_docs(spark), micro_kb(spark)
+    base = None
+    for r in ("degree", "flow", "pagerank", "hub", "authority"):
+        got = {
+            (x["graph"], x["subj"], x["pred"], x["obj"])
+            for x in extract_triples(spark, docs, kb, PipelineConfig(resolver=r)).collect()
+        }
+        if base is None:
+            base = got
+        assert got == base, r
+
+
+def test_streaming_extract(spark, tmp_path):
+    """Streaming ingestion: corpus parquet → readStream → foreachBatch
+    pipeline → parquet triples sink; result equals the batch run."""
+    docs = micro_docs(spark)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    kb = micro_kb(spark)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = streaming.streaming_extract(
+        spark, stream, kb, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["graph"], r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        (r["graph"], r["subj"], r["pred"], r["obj"])
+        for r in extract_triples(spark, docs, kb).collect()
+    }
+    assert got == batch
+
+
+def test_windowed_and_session_static(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = streaming.windowed_event_counts(events, window="1 hour")
+    assert w.count() > 0
+    s = streaming.sessionized_events(events, gap="30 minutes")
+    total = s.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+
+
+def test_evaluator_pr_and_map(spark):
+    found = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, subject string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "x"), (2, "c")], "doc_id long, subject string"
+    )
+    pr = evaluate.set_precision_recall(found, truth, ["doc_id", "subject"])
+    assert pr["precision"] == pytest.approx(2 / 3)
+    assert pr["recall"] == pytest.approx(2 / 3)
+
+    ranked = spark.createDataFrame(
+        [(1, "a", 0.9), (1, "b", 0.8), (1, "x", 0.7), (2, "c", 1.0)],
+        "doc_id long, subject string, score double",
+    )
+    m = evaluate.mean_average_precision(ranked, truth)
+    # doc1: rels a(rank1, p=1), x(rank3, p=2/3) → AP=5/6; doc2: AP=1 → MAP=11/12
+    assert m == pytest.approx((5 / 6 + 1) / 2)
+
+
+def test_relevance_rating_default_capacity(spark):
+    docs, kb = micro_docs(spark), micro_kb(spark)
+    from scoobie_spark import linking, spotting
+    from scoobie_spark.pipeline import extract_triples  # noqa: F401
+
+    d = textproc.with_doc_id(docs)
+    prefixes = [r[0] for r in kb.literals.select("prefix").collect()]
+    cand = textproc.suffix_candidates(d, prefixes)
+    mentions = spotting.spot(cand, kb.gazetteer())
+    resolved = linking.disambiguate(linking.resolve_instances(mentions, kb), kb)
+    scores = rating.relevance_scores(resolved, kb, d, metrics=["capacity", "degree", "tf"])
+    rows = scores.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["score"] <= 1.0
+
+
+def test_regexner(spark):
+    docs = spark.createDataFrame(
+        [(1, "meet on 2024-01-05, mail bob@example.org, pi is 3.14")],
+        "doc_id long, content string",
+    )
+    ents = {(r["regex"], r["value"]) for r in regexner.regex_entities(docs).collect()}
+    assert ("DATE", "2024-01-05") in ents
+    assert ("MAIL", "bob@example.org") in ents
+    assert ("FLOAT", "3.14") in ents
+
+
+def test_rdfa_serializer(spark):
+    from scoobie_spark import linking, serialize, spotting
+
+    docs, kb = micro_docs(spark), micro_kb(spark)
+    d = textproc.with_doc_id(docs)
+    prefixes = [r[0] for r in kb.literals.select("prefix").collect()]
+    mentions = spotting.spot(textproc.suffix_candidates(d, prefixes), kb.gazetteer())
+    resolved = linking.disambiguate(linking.resolve_instances(mentions, kb), kb)
+    rdfa = {r["doc_id"]: r["rdfa"] for r in serialize.rdfa_serialize(d, resolved, kb).collect()}
+    percy_doc = d.filter(F.col("path") == "docs/percy.txt").first()["doc_id"]
+    markup = rdfa[percy_doc]
+    assert '<span about="http://example.org/instance#Percy_Jackson"' in markup
+    assert ">Percy Jackson</span>" in markup
+    assert markup.count("<span") == 2
