@@ -24,14 +24,20 @@ BENCH_QUERIES = [
     "tpch_q5like",
     "a12_cardinalities",
     "a13_markov",
+    "a14_type_cooccurrence",
     "b3_token_counts",
     "b9_phrase_spotting",
+    "b13_regex_counts",
+    "b24_recommend_topk",
+    "lang_id",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "quality_scores",
     "events_sessionize",
     "ann_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -86,6 +86,7 @@ def cogrouped_apply(
     fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
     schema: str,
     batch_mode: bool = False,
+    left_sort_cols: list | None = None,
 ) -> DataFrame:
     """Cogrouped variant: ``fn(left_group, right_group)`` per key, again
     with per-batch Arrow cost. Implemented as a tagged union of the two
@@ -123,4 +124,14 @@ def cogrouped_apply(
         rg = g[g["__side"] == 1][r_names]
         return fn(lg, rg)
 
-    return grouped_apply(union, key, split, schema, batch_mode=batch_mode)
+    # secondary sort for the left side: __side asc puts left rows first
+    # within each key group, then the caller's span ordering — right
+    # rows (padded nulls) trail in arbitrary-but-grouped order
+    sort_cols = None
+    if left_sort_cols:
+        from pyspark.sql import functions as F
+
+        sort_cols = [F.col("__side").asc(), *left_sort_cols]
+    return grouped_apply(
+        union, key, split, schema, batch_mode=batch_mode, sort_cols=sort_cols
+    )

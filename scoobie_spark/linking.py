@@ -45,6 +45,10 @@ CANDIDATES_SCHEMA = (
     "doc_id long, begin int, end int, lit_id long, prop_id long, "
     "belief double, literal string, surface string, subject long"
 )
+_CAND_COLS = [
+    "doc_id", "begin", "end", "lit_id", "prop_id",
+    "belief", "literal", "surface", "subject",
+]
 
 
 def resolve_instances(mentions: DataFrame, kb: KB) -> DataFrame:
@@ -65,7 +69,7 @@ def subject_types(candidates: DataFrame, kb: KB) -> DataFrame:
     types = kb.relations.filter(F.col("p") == type_id).select(
         F.col("s").alias("subject"), F.col("o").alias("type_id")
     )
-    return candidates.select("subject").distinct().join(types, "subject")
+    return candidates.select("subject").distinct().join(types, "subject").distinct()
 
 
 _COMP_SCHEMA = "doc_id long, node long, component long"
@@ -195,7 +199,10 @@ def _resolve_one(
         subj_set = set(subjects)
         kept = set()
         for a, b, d, anc in zip(e_src, e_dst, e_dir, e_anchor):
-            if (d == "f") != (anc in ambiguous_subjects):
+            # anchor guard: in the fused spot+link stage the edge fetch
+            # ran on PRE-filter candidates; edges anchored at a subject
+            # the span filters removed must not influence scores
+            if anc in subj_set and ((d == "f") != (anc in ambiguous_subjects)):
                 kept.add((a, b))
         # B19 — prune intermediates (non-candidate, non-literal) deg ≤ 1
         deg_map: dict[int, int] = {}
@@ -262,7 +269,9 @@ def _resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
     if len(cand) == 0:
-        return cand.iloc[0:0].drop(columns=["__resolver"], errors="ignore")
+        return cand.iloc[0:0].drop(columns=["__resolver"], errors="ignore").reindex(
+            columns=_CAND_COLS
+        )
     resolver = cand["__resolver"].iloc[0]
     cand = cand.drop(columns=["__resolver"])
 
@@ -312,7 +321,9 @@ def _resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
             for i in range(i0, i1):
                 if subjects[i] in losers:
                     keep[i] = False
-    return cand[keep]
+    # column order must match CANDIDATES_SCHEMA positionally (the fused
+    # path's join reorders columns; Arrow return is positional)
+    return cand[keep][_CAND_COLS]
 
 
 def expansion_edges(candidates: DataFrame, kb: KB) -> DataFrame:
@@ -345,6 +356,80 @@ def expansion_edges(candidates: DataFrame, kb: KB) -> DataFrame:
         )
     )
     return fwd.unionByName(bwd)
+
+
+def _filter_resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Fused B10-B12 + B16-B21 batch: span filters first (spotting
+    semantics, including the both-case-hash dedupe), then per-doc
+    disambiguation — one Arrow stage, one shuffle."""
+    from .spotting import _filter_batch
+
+    if len(cand):
+        resolver = cand["__resolver"].iloc[0]
+        # the cogroup union pads these with nulls on the right side, so
+        # pandas widened them to float64 — restore ints (left rows have
+        # no nulls by construction)
+        cand = cand.assign(
+            begin=cand["begin"].astype("int64"),
+            end=cand["end"].astype("int64"),
+            lit_id=cand["lit_id"].astype("int64"),
+            prop_id=cand["prop_id"].astype("int64"),
+            subject=cand["subject"].astype("int64"),
+        )
+        cand = _filter_batch(cand.drop(columns=["__resolver"]), drop_suffix=True)
+        cand = cand.assign(__resolver=resolver)
+    return _resolve_doc(cand, edges)
+
+
+def spot_resolve(
+    candidates_raw: DataFrame,
+    kb: KB,
+    resolver: str = "degree",
+    gazetteer: DataFrame | None = None,
+    subject_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Fused B8-B21: gazetteer join + symbols join (both broadcast-sized
+    dims at KB-dictionary scale, sort-merge otherwise — Catalyst/AQE
+    picks) stay narrow; then ONE doc_id shuffle feeds ONE cogrouped
+    Arrow pass doing span filters + disambiguation.
+
+    vs the staged path (spot → resolve_instances → disambiguate):
+    one shuffle + one Arrow stage instead of two of each. The symbols
+    join runs before the span filters, so candidate rows multiply by
+    subject ambiguity slightly earlier — the filters only ever remove
+    case-hash duplicates and contained spans, so the inflation window is
+    one narrow stage, not a shuffle."""
+    from .grouped import cogrouped_apply
+    from .spotting import join_gazetteer
+
+    raw = join_gazetteer(
+        candidates_raw, gazetteer if gazetteer is not None else kb.gazetteer()
+    )
+    sym = kb.symbols.select(
+        F.col("p").alias("prop_id"), F.col("lit").alias("lit_id"),
+        F.col("s").alias("subject"),
+    ).distinct()
+    cand_subj = raw.join(sym, ["prop_id", "lit_id"])
+    if subject_filter is not None:  # SPARQL-template rdf:type pushdown (O1)
+        cand_subj = cand_subj.join(subject_filter, "subject", "left_semi")
+    edges = expansion_edges(cand_subj, kb)
+    tagged = cand_subj.withColumn("__resolver", F.lit(resolver))
+    return cogrouped_apply(
+        tagged,
+        edges,
+        "doc_id",
+        "e_doc_id",
+        _filter_resolve_doc,
+        CANDIDATES_SCHEMA,
+        batch_mode=True,
+        left_sort_cols=[
+            F.col("begin").asc(),
+            F.col("end").desc(),
+            F.col("prop_id").asc(),
+            F.col("lit_id").asc(),
+            F.col("subject").asc(),
+        ],
+    )
 
 
 def disambiguate(candidates: DataFrame, kb: KB, resolver: str = "degree") -> DataFrame:

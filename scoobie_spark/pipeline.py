@@ -44,6 +44,8 @@ class PipelineConfig:
     resolver: str = "degree"           # B20 strategy (degree|flow|pagerank|hub|authority)
     template: str | None = None        # SPARQL extraction template (O1 pushdown)
     np_candidate_filter: bool = False  # B6 proper-name gate on candidate starts
+    fused: bool = True                 # ONE shuffle+Arrow pass for B8-B21; False =
+                                       # staged path (finer checkpoints for resume)
     salt_partitions: int | None = None  # docs repartition width
     markov_chain: DataFrame | None = None
     type_clusters: DataFrame | None = None
@@ -141,26 +143,40 @@ def extract_triples(
     )
     gazetteer = kb.gazetteer()
     ctx = None
+    typed = None
     if cfg.template:
         from .filters import compile_template
 
         ctx = compile_template(cfg.template, kb)
         gazetteer = ctx.filter_gazetteer(gazetteer)
-    mentions = _stage(cfg, "mentions", spotting.spot(candidates, gazetteer), spark)
+        if ctx.types:
+            # template type filter (FilterContext.getTypeIndexFilter): keep
+            # only candidate subjects carrying one of the requested rdf:types
+            typed = kb.relations.filter(
+                (F.col("p") == kb.rdf_type_id) & F.col("o").isin(*ctx.types)
+            ).select(F.col("s").alias("subject"))
 
-    # --- B15-B21: linking + disambiguation ----------------------------
-    cand_subjects = linking.resolve_instances(mentions, kb)
-    if ctx and ctx.types:
-        # template type filter (FilterContext.getTypeIndexFilter): keep
-        # only candidate subjects carrying one of the requested rdf:types
-        typed = kb.relations.filter(
-            (F.col("p") == kb.rdf_type_id) & F.col("o").isin(*ctx.types)
-        ).select(F.col("s").alias("subject"))
-        cand_subjects = cand_subjects.join(typed, "subject", "left_semi")
-    cand_subjects = _stage(cfg, "candidates_resolved", cand_subjects, spark)
-    resolved = _stage(
-        cfg, "resolved", linking.disambiguate(cand_subjects, kb, cfg.resolver), spark
-    )
+    # --- B8-B21: spotting + linking + disambiguation ------------------
+    if cfg.fused:
+        # ONE doc_id shuffle + ONE Arrow pass for span filters +
+        # disambiguation (gazetteer/symbols joins stay narrow upstream)
+        resolved = _stage(
+            cfg,
+            "resolved",
+            linking.spot_resolve(
+                candidates, kb, cfg.resolver, gazetteer=gazetteer, subject_filter=typed
+            ),
+            spark,
+        )
+    else:
+        mentions = _stage(cfg, "mentions", spotting.spot(candidates, gazetteer), spark)
+        cand_subjects = linking.resolve_instances(mentions, kb)
+        if typed is not None:
+            cand_subjects = cand_subjects.join(typed, "subject", "left_semi")
+        cand_subjects = _stage(cfg, "candidates_resolved", cand_subjects, spark)
+        resolved = _stage(
+            cfg, "resolved", linking.disambiguate(cand_subjects, kb, cfg.resolver), spark
+        )
 
     # --- B22-B25: facts + triples --------------------------------------
     types = linking.subject_types(resolved, kb)
@@ -174,7 +190,10 @@ def extract_triples(
         )
         triples = triples.unionByName(serialize.predicted_triples(predicted, kb))
 
-    return _stage(cfg, "triples", triples.distinct(), spark)
+    # NO distinct here: every graph branch dedups in id space before the
+    # uri decode, and the branches are disjoint on `graph` — a final
+    # distinct would shuffle the full decoded-string output once more
+    return _stage(cfg, "triples", triples, spark)
 
 
 def precision_recall(found: DataFrame, expected: DataFrame) -> dict[str, float]:

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import regexner
 from .extras import dedup, similarity, textstats
 
 _T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
@@ -475,6 +476,292 @@ QUALIFY rank <= 5
 """
 
 
+def q_a14_type_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """A14 (first half): type co-occurrence counts via self-join on the
+    shared instance key (PostgresKB.java:1492-1603) — brands co-ordered
+    in the same order stand in for types co-instantiated by a subject."""
+    l = _T(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = _T(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_A14 = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+"""
+
+
+def q_a15_proper_noun_rating(spark: SparkSession, sf: str) -> DataFrame:
+    """A15: proper-noun rating = coverage / ambiguity per (cluster,
+    property) (PostgresKB.java:1385-1484) — (container, brand) stands in
+    for (type cluster, datatype property)."""
+    p = _T(spark, sf, "part")
+    per = p.groupBy("p_type", "p_brand").agg(
+        F.countDistinct("p_partkey").alias("n")
+    )
+    tot = p.groupBy("p_type").agg(F.countDistinct("p_partkey").alias("tot"))
+    amb = p.groupBy("p_brand").agg(F.countDistinct("p_type").alias("ambiguity"))
+    return (
+        per.join(tot, "p_type")
+        .join(amb, "p_brand")
+        .select(
+            "p_type",
+            "p_brand",
+            F.round(F.col("n") / F.col("tot"), 6).alias("coverage"),
+            "ambiguity",
+            F.round(F.col("n") / F.col("tot") / F.col("ambiguity"), 6).alias("rating"),
+        )
+    )
+
+
+SQL_A15 = """
+WITH per AS (
+  SELECT p_type, p_brand, count(DISTINCT p_partkey) AS n
+  FROM part GROUP BY 1, 2
+), tot AS (
+  SELECT p_type, count(DISTINCT p_partkey) AS tot FROM part GROUP BY 1
+), amb AS (
+  SELECT p_brand, count(DISTINCT p_type) AS ambiguity FROM part GROUP BY 1
+)
+SELECT p_type, p_brand,
+       round(n * 1.0 / tot, 6) AS coverage,
+       ambiguity,
+       round(n * 1.0 / tot / ambiguity, 6) AS rating
+FROM per JOIN tot USING (p_type) JOIN amb USING (p_brand)
+"""
+
+
+def q_b13_regex_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """B13: regex entity recognition aggregate — per pattern, total
+    matches + docs matched (RegularStructuredEntityRecognition.java:43-72;
+    patterns QueryExperiment.java:159-166)."""
+    d = _T(spark, sf, "documents").select("doc_id", F.col("text").alias("content"))
+    ents = regexner.regex_entities(d, patterns=_B13_PATTERNS)
+    return ents.groupBy("regex").agg(
+        F.count("*").alias("n_matches"), F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+# reference patterns (DATE/MAIL/...) + two corpus-matching ones so the
+# differential check exercises non-empty groups on the word-salad docs
+_B13_PATTERNS = dict(
+    regexner.DEFAULT_PATTERNS,
+    SPARK=r"\bspark\b",
+    SCAN_PAIR=r"\btable scan\b",
+)
+_RX = {k: v.replace("'", "''") for k, v in _B13_PATTERNS.items()}
+SQL_B13 = "WITH m AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, '{name}' AS regex, len(regexp_extract_all(text, '{pat}')) AS n FROM documents"
+    for name, pat in _RX.items()
+) + """)
+SELECT regex, CAST(sum(n) AS BIGINT) AS n_matches,
+       count(CASE WHEN n > 0 THEN 1 END) AS n_docs
+FROM m GROUP BY regex HAVING sum(n) > 0
+"""
+
+
+def q_b20_degree_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """B20 degree-resolver shape: per ambiguity set (user) keep the
+    argmax-degree candidate, ties all kept (DegreeBasedResolver.java:41-79
+    '== maxDegree' branch) — rank() not row_number()."""
+    e = _T(spark, sf, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        per.withColumn("r", F.rank().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", "event_type", "n")
+    )
+
+
+SQL_B20 = """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, n FROM per
+QUALIFY rank() OVER (PARTITION BY user_id ORDER BY n DESC) = 1
+"""
+
+
+def q_b23_relevance_idf(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 tf/idf/position relevance metrics per gazetteer phrase
+    (InverseDocumentFrequencyBasedRating.java:42-90,
+    PositionBasedRating.java): df, idf = ln(N/(df+1)), mean first
+    occurrence offset."""
+    d = _T(spark, sf, "documents")
+    n_total = d.count()
+    phrases = spark.createDataFrame([(p,) for p in GAZETTEER_PHRASES], "phrase string")
+    hits = (
+        d.crossJoin(F.broadcast(phrases))
+        .withColumn("pos", F.instr(F.col("text"), F.col("phrase")))
+        .filter(F.col("pos") > 0)
+    )
+    return hits.groupBy("phrase").agg(
+        F.count("*").alias("df"),
+        F.round(F.log(F.lit(float(n_total)) / (F.count("*") + 1)), 6).alias("idf"),
+        F.round(F.avg("pos"), 4).alias("avg_first_pos"),
+    )
+
+
+SQL_B23 = """
+SELECT phrase, count(*) AS df,
+       round(ln((SELECT count(*) FROM documents) * 1.0 / (count(*) + 1)), 6) AS idf,
+       round(avg(pos), 4) AS avg_first_pos
+FROM (
+  SELECT w.phrase, strpos(d.text, w.phrase) AS pos
+  FROM documents d
+  JOIN (VALUES ('table scan'), ('hash join'), ('sort merge'), ('window'), ('shuffle')) w(phrase)
+    ON strpos(d.text, w.phrase) > 0
+)
+GROUP BY phrase
+"""
+
+
+def q_b24_recommend_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """B24 top-k fact recommendation shape: k-best markov transitions
+    per source type (PostgresKB.getMaxMarkovProbability:1343-1383)."""
+    e = _T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    c = seq.groupBy("event_type", "next_type").agg(F.count("*").alias("n"))
+    wk = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "next_type")
+    wn = Window.partitionBy("event_type")
+    return (
+        c.withColumn("probability", F.round(F.col("n") / F.sum("n").over(wn), 6))
+        .withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= 2)
+        .select("event_type", "next_type", "probability", "r")
+    )
+
+
+SQL_B24 = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT event_type, next_type, count(*) AS n FROM seq
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS probability,
+       row_number() OVER (PARTITION BY event_type ORDER BY n DESC, next_type) AS r
+FROM c
+QUALIFY r <= 2
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index join."""
+    d = _T(spark, sf, "documents")
+    out = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, greatest(len(t)-3, 0) + 2)) AS u(i)
+  WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), kept AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+), sizes AS (
+  SELECT doc_id, count(*) AS size FROM kept GROUP BY 1
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(i * 1.0 / (sa.size + sb.size - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i * 1.0 / (sa.size + sb.size - i) >= 0.5
+"""
+
+
+def q_dedup_embedding_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs baseline (the oracle
+    for the LSH-bucketed scale path dedup_embedding_lsh)."""
+    e = _T(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
+        .filter(F.col("cosine") >= 0.35)
+        .select("a", "b", "cosine")
+    )
+
+
+SQL_EMB_EXACT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """B2: stopword-vote language ID (LanguageIdentification.java:55-84)."""
+    d = _T(spark, sf, "documents")
+    return textstats.language_id(d)
+
+
+def _lang_sql() -> str:
+    # first-max in _STOPWORDS insertion order = the Python tie-break
+    langs = list(textstats._STOPWORDS)
+    votes = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in sorted(textstats._STOPWORDS[lang]))
+        + f"])) AS n_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"n_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN n_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+  FROM documents
+), v AS (SELECT doc_id, {votes} FROM t)
+SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_guess FROM v
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -485,6 +772,102 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = _T(spark, sf, "documents")
     return dedup.simhash_near_pairs(d, max_hamming=2)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (scale path; dedup_embedding_exact
+    is its correctness baseline — recall asserted in tests)."""
+    e = _T(spark, sf, "embeddings")
+    out = dedup.embedding_near_dupes(e, threshold=0.35, n_planes=6)
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (coarse-quantized) ANN: k-means cells + nprobe search — the
+    scale path whose recall vs ann_topk is asserted in tests."""
+    e = _T(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_text_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (rolling polynomial hash, min-sampled)."""
+    d = _T(spark, sf, "documents")
+    return textstats.fingerprints(d).select("doc_id", "fp_count")
+
+
+def q_b6_noun_phrases(spark: SparkSession, sf: str) -> DataFrame:
+    """B5+B6: perceptron-style POS tagging + B-NP/I-NP chunking +
+    phrase stitch (Document.getNounPhrases:493-530) — phrase counts per
+    doc over the documents table."""
+    from . import pos
+
+    d = _T(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    phrases = pos.noun_phrases(pos.np_chunks(pos.pos_tag(d)))
+    return phrases.groupBy("doc_id").agg(F.count("*").alias("n_phrases"))
+
+
+def q_b17_components(spark: SparkSession, sf: str) -> DataFrame:
+    """B17: distributed connected components (min-label propagation) over
+    the MinHash near-duplicate pair graph → near-dup cluster size
+    histogram (the corpus-level CC twin of the per-doc union-find used
+    in disambiguation; also the dedup 'keep one per cluster' primitive)."""
+    from . import graph
+
+    d = _T(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc = graph.connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-binary multimodal columns: deterministic synthetic media
+    + Arrow-batched decode-stub feature extraction (real plumbing,
+    stubbed codec)."""
+    from .extras import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", F.size("feature").alias("feat_dim")
+    )
+
+
+def q_micro_pipeline_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship on the micro fixture with the PageRank resolver (B20
+    non-default strategy, PageRankBasedResolver.java:44-85)."""
+    from .fixtures import micro_docs, micro_kb
+    from .pipeline import PipelineConfig, extract_triples
+
+    return extract_triples(
+        spark,
+        micro_docs(spark),
+        micro_kb(spark),
+        PipelineConfig(materialize_kb=False, resolver="pagerank"),
+    )
+
+
+def q_micro_rdfa(spark: SparkSession, sf: str) -> DataFrame:
+    """B26: RDFa serialization of resolved spans on the micro fixture."""
+    from . import serialize, textproc
+    from .fixtures import micro_docs, micro_kb
+    from .linking import disambiguate, resolve_instances
+    from .spotting import spot
+
+    docs = textproc.with_doc_id(micro_docs(spark))
+    kb = micro_kb(spark)
+    prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    mentions = spot(textproc.suffix_candidates(docs, prefixes), kb.gazetteer())
+    resolved = disambiguate(resolve_instances(mentions, kb), kb, "degree")
+    return serialize.rdfa_serialize(docs, resolved, kb)
 
 
 def q_flagship_triples(spark: SparkSession, sf: str) -> DataFrame:
@@ -518,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_ambiguity": q_a11_ambiguity,
         "a12_cardinalities": q_a12_cardinalities,
         "a13_markov": q_a13_markov,
+        "a14_type_cooccurrence": q_a14_type_cooccurrence,
+        "a15_proper_noun_rating": q_a15_proper_noun_rating,
         "a16_regex_distribution": q_a16_regex_distribution,
         "c_topk_per_group": q_c_topk_per_group,
         "c_semi_join": q_c_semi_join,
@@ -529,13 +914,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5like": q_tpch_q5like,
         "b3_token_counts": q_b3_token_counts,
         "b9_phrase_spotting": q_b9_phrase_spotting,
+        "b13_regex_counts": q_b13_regex_counts,
+        "b20_degree_rank": q_b20_degree_rank,
+        "b23_relevance_idf": q_b23_relevance_idf,
+        "b24_recommend_topk": q_b24_recommend_topk,
+        "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_exact": q_dedup_embedding_exact,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "quality_scores": q_quality_scores,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_minhash": q_minhash_pairs,
         "dedup_simhash": q_simhash_pairs,
+        "text_fingerprints": q_text_fingerprints,
+        "b6_noun_phrases": q_b6_noun_phrases,
+        "b17_components": q_b17_components,
+        "multimodal_features": q_multimodal_features,
+        "micro_pipeline_pagerank": q_micro_pipeline_pagerank,
+        "micro_rdfa": q_micro_rdfa,
         "flagship_triples": q_flagship_triples,
     }
 
@@ -548,6 +948,8 @@ def oracle_sql() -> dict[str, str]:
         "a11_ambiguity": SQL_A11_AMB,
         "a12_cardinalities": SQL_A12,
         "a13_markov": SQL_A13,
+        "a14_type_cooccurrence": SQL_A14,
+        "a15_proper_noun_rating": SQL_A15,
         "a16_regex_distribution": SQL_A16,
         "c_topk_per_group": SQL_TOPK,
         "c_semi_join": SQL_SEMI,
@@ -559,11 +961,22 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5like": SQL_Q5,
         "b3_token_counts": SQL_B3,
         "b9_phrase_spotting": SQL_B9,
+        "b13_regex_counts": SQL_B13,
+        "b20_degree_rank": SQL_B20,
+        "b23_relevance_idf": SQL_B23,
+        "b24_recommend_topk": SQL_B24,
+        "lang_id": SQL_LANG_ID,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_embedding_exact": SQL_EMB_EXACT,
         "quality_scores": SQL_QUALITY,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,
-        # dedup_minhash / dedup_simhash / flagship_triples: rows-only
-        # (hash-family + full-pipeline ops are not ANSI-SQL-expressible)
+        # rows-only (not ANSI-SQL-expressible): dedup_minhash /
+        # dedup_simhash / dedup_embedding_lsh (hash families),
+        # ann_ivf_topk (k-means), text_fingerprints (rolling hash),
+        # b6_noun_phrases (tagger), b17_components (iterative),
+        # multimodal_features (binary decode), micro_* + flagship_triples
+        # (full pipeline)
     }

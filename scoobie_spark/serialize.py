@@ -53,28 +53,32 @@ def recognized_triples(resolved: DataFrame, types: DataFrame, kb: KB) -> DataFra
             "obj",
         )
     )
-    return labels.unionByName(type_rows).distinct()
+    # dedup happens in id space BEFORE uri decode (the decode joins are
+    # injective and the two branches are disjoint by construction:
+    # datatype properties are never rdf:type) — a distinct() here would
+    # re-shuffle the full decoded-string rows, ~10× the bytes
+    return labels.unionByName(type_rows)
 
 
 def known_triples(known: DataFrame, kb: KB) -> DataFrame:
     r = kb.resources
     return (
-        known.join(_uri(r, "s", "subj"), "s")
+        known.distinct()  # id-space dedup; decode is injective
+        .join(_uri(r, "s", "subj"), "s")
         .join(_uri(r, "p", "pred"), "p")
         .join(_uri(r, "o", "obj"), "o")
         .select("doc_id", F.lit("known").alias("graph"), "subj", "pred", "obj")
-        .distinct()
     )
 
 
 def predicted_triples(predicted: DataFrame, kb: KB) -> DataFrame:
     r = kb.resources
     return (
-        predicted.join(_uri(r, "s", "subj"), "s")
+        predicted.select("doc_id", "s", "p", "o").distinct()  # id space
+        .join(_uri(r, "s", "subj"), "s")
         .join(_uri(r, "p", "pred"), "p")
         .join(_uri(r, "o", "obj"), "o")
         .select("doc_id", F.lit("predicted").alias("graph"), "subj", "pred", "obj")
-        .distinct()
     )
 
 

@@ -50,6 +50,18 @@ def join_gazetteer(candidates: DataFrame, gazetteer: DataFrame) -> DataFrame:
     joined = candidates.join(g, "hash").filter(
         F.startswith(F.lower("suffix"), F.lower("literal"))
     )
+    # B12's token-tiling test needs exactly TWO chars of the suffix
+    # (the one before and the one at the span end), so it is computed
+    # HERE as a JVM-side boolean and the ≤100-char suffix string never
+    # enters the downstream shuffle. The *application* of the flag stays
+    # inside the per-doc filter stage, after B10/B11 (reference order:
+    # a non-tiling long match still suppresses contained shorter ones,
+    # RDFLiteralSpotting.java:93-132 vs filterLongestMatches:186-214).
+    blen = F.length("literal")
+    word = lambda c: c.rlike(r"[\p{L}\p{N}_]")  # noqa: E731  (py isalnum ∪ _)
+    c_last = F.col("suffix").substr(blen, F.lit(1))
+    c_next = F.col("suffix").substr(blen + 1, F.lit(1))
+    tile_ok = ~(word(c_last) & word(c_next))
     # NOTE: no dropDuplicates here — candidate rows probing with both
     # case-hashes can produce duplicate matches, but they arrive adjacent
     # after the filter stage's (doc_id, begin, end, ...) sort and are
@@ -63,7 +75,7 @@ def join_gazetteer(candidates: DataFrame, gazetteer: DataFrame) -> DataFrame:
         "belief",
         "literal",
         F.col("suffix").substr(F.lit(1), F.length("literal")).alias("surface"),
-        "suffix",
+        tile_ok.alias("tile_ok"),
     )
 
 
@@ -71,23 +83,31 @@ def _is_word(ch: str) -> bool:
     return ch.isalnum() or ch == "_"
 
 
-def _filter_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _filter_batch(pdf: pd.DataFrame, drop_suffix: bool = True) -> pd.DataFrame:
     """Batch-vectorized B10-B12 over many complete documents at once
     (rows pre-sorted by doc_id, begin asc, end desc, prop_id, lit_id —
     TextPointer ordering, TextPointer.java:139-147).
 
-    B12 note: "span exactly tiled by tokens" reduces to a char test —
+    Extra columns (e.g. ``subject`` in the fused spot+link stage) pass
+    through untouched: every filter is a row mask over span columns —
+    except the duplicate collapse, which includes ``subject`` when
+    present so multi-subject spans survive.
+
+    B12 note: "span exactly tiled by tokens" reduces to a 2-char test —
     the span start is a token start by construction, so tiling holds iff
     a token ends exactly at the span end b, i.e. NOT (suffix[b-1] and
     suffix[b] are both word chars): a word-char run straddling b is the
     only way no token boundary falls on b (punctuation tokens are
     single-char, whitespace never ends a literal because KB literals are
-    trimmed). This replaces the per-row regex scan of the suffix."""
+    trimmed). The two chars are tested JVM-side at join time
+    (``tile_ok`` column) so the suffix string never shuffles; the flag
+    is APPLIED here, after B10/B11, preserving reference order."""
     import numpy as np
 
+    drop_cols = ["tile_ok"] if drop_suffix else []
     n = len(pdf)
     if n == 0:
-        return pdf.drop(columns=["suffix"])
+        return pdf.drop(columns=drop_cols) if drop_cols else pdf
 
     # dedupe both-case-hash duplicate matches (adjacent after the sort)
     doc = pdf["doc_id"].values
@@ -103,6 +123,9 @@ def _filter_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         & (lids[1:] == lids[:-1])
         & (pids[1:] == pids[:-1])
     )
+    if "subject" in pdf.columns:
+        subj = pdf["subject"].values
+        dup[1:] &= subj[1:] == subj[:-1]
     if dup.any():
         pdf = pdf[~dup]
         doc, a, b = pdf["doc_id"].values, pdf["begin"].values, pdf["end"].values
@@ -124,7 +147,7 @@ def _filter_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             s0_a, s0_b = ai, bi
     pdf = pdf[keep]
     if not len(pdf):
-        return pdf.drop(columns=["suffix"])
+        return pdf.drop(columns=drop_cols) if drop_cols else pdf
 
     # B11 — case filter (filterCaseMatches:216-246), keyed by (doc, surface)
     surf = pdf["surface"].values
@@ -140,22 +163,12 @@ def _filter_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         )
         pdf = pdf[~in_exact | exact_mask]
         if not len(pdf):
-            return pdf.drop(columns=["suffix"])
+            return pdf.drop(columns=drop_cols) if drop_cols else pdf
 
-    # B12 — O(1) char tiling test per row
-    blen = (pdf["end"] - pdf["begin"]).values
-    sfx = pdf["suffix"].values
-    ok = np.fromiter(
-        (
-            not (
-                _is_word(s[bl - 1]) and bl < len(s) and _is_word(s[bl])
-            )
-            for s, bl in zip(sfx.tolist(), blen.tolist())
-        ),
-        dtype=bool,
-        count=len(pdf),
-    )
-    return pdf[ok].drop(columns=["suffix"])
+    # B12 — apply the JVM-computed tiling flag
+    ok = pdf["tile_ok"].values.astype(bool)
+    pdf = pdf[ok]
+    return pdf.drop(columns=drop_cols) if drop_cols else pdf
 
 
 def filter_mentions(mentions_raw: DataFrame) -> DataFrame:

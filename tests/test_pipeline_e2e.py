@@ -67,7 +67,7 @@ def test_checkpoint_resume(spark, tmp_path):
     t1 = extract_triples(spark, docs, kb, cfg)
     rows1 = {tuple(r) for r in t1.select("graph", "subj", "pred", "obj").collect()}
     stages1 = [m["stage"] for m in cfg.metrics]
-    assert "triples" in stages1 and "mentions" in stages1
+    assert "triples" in stages1 and "resolved" in stages1
 
     cfg2 = PipelineConfig(checkpoint_dir=str(tmp_path))
     t2 = extract_triples(spark, docs, kb, cfg2)
