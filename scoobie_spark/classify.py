@@ -1,0 +1,186 @@
+"""B14 — entity classification (SURVEY.md §2 B14).
+
+Reference (``transducer/EntityClassification.java:56-147``): a Mallet
+MaxEnt model classifies each noun phrase into a type cluster from
+n-gram/context features (``corpus/LabeledTextCorpus.extractFeatures``,
+``LabeledTextCorpus.java:169-251``; model wrapper
+``transducer/model/MaxentEntityClassifierModel.java:69-177``); a
+prediction is accepted only when the top1−top2 probability margin
+exceeds a threshold (0.6), and accepted phrases get a predicted
+``type`` layer with ``subject = -1``. The stage is commented out of the
+reference's production pipeline (``Scoobie.java:108-114``), so it is
+*off by default* here too (PipelineConfig has no slot for it; callers
+invoke it explicitly).
+
+Spark-first form:
+
+* **Training** is driver-side numpy (multinomial logistic regression =
+  maxent, L2, full-batch gradient): the training set is (KB literal →
+  type cluster) pairs, which is dictionary-scale (≤ millions), and the
+  reference's Mallet training is single-node too. For huge KBs the
+  sample is capped per class via ``row_number()`` (deterministic, the
+  Spark analogue of the reference's ``LIMIT`` sampling).
+* **Inference** is an Arrow-batched ``mapInPandas`` pass with the
+  weight matrix broadcast by closure — hashed character n-gram
+  featurization and the softmax run vectorized per batch, no per-row
+  Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .kb.model import KB
+
+N_BUCKETS = 1 << 12  # hashed feature space (char n-grams)
+_NGRAM_NS = (2, 3)
+
+
+def _featurize(texts: list[str], n_buckets: int = N_BUCKETS) -> np.ndarray:
+    """Hashed char-ngram bag (L2-normalized rows). Vectorized per batch;
+    the hash is FNV-1a over the ngram bytes (deterministic, seed-free —
+    python's hash() is salted per process and would break determinism
+    across executors)."""
+    out = np.zeros((len(texts), n_buckets), dtype=np.float32)
+    for r, t in enumerate(texts):
+        s = f"^{t.lower()}$"
+        for n in _NGRAM_NS:
+            for i in range(len(s) - n + 1):
+                h = 0xCBF29CE484222325
+                for ch in s[i : i + n].encode("utf-8"):
+                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                out[r, h % n_buckets] += 1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+class EntityClassifier:
+    """Maxent (multinomial logistic) over hashed char-ngram features."""
+
+    def __init__(self, weights: np.ndarray, bias: np.ndarray, classes: list[int]):
+        self.weights = weights  # (n_buckets, n_classes) float32
+        self.bias = bias        # (n_classes,)
+        self.classes = classes  # class label per column (cluster/type ids)
+
+    def predict_proba(self, texts: list[str]) -> np.ndarray:
+        x = _featurize(texts, self.weights.shape[0])
+        z = x @ self.weights + self.bias
+        z -= z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=1, keepdims=True)
+
+
+def training_pairs(
+    kb: KB, type_clusters: DataFrame | None = None, sample_per_class: int = 10000
+) -> DataFrame:
+    """(literal, cls) training table from the KB: datatype-property
+    literals of typed instances; cls = type cluster if a ``type_clusters``
+    mapping is given, else the raw rdf:type id. Deterministic per-class
+    cap via row_number (reference samples with LIMIT,
+    PostgresKB.java:1243-1250)."""
+    type_id = kb.rdf_type_id
+    types = kb.relations.filter(F.col("p") == type_id).select(
+        F.col("s"), F.col("o").alias("cls")
+    )
+    if type_clusters is not None:
+        types = (
+            types.join(F.broadcast(type_clusters), types.cls == type_clusters.type)
+            .select("s", F.col("cluster").alias("cls"))
+        )
+    lits = kb.symbols.join(
+        kb.literals.withColumnRenamed("id", "lit"), "lit"
+    ).select("s", "literal")
+    pairs = lits.join(types, "s").select("literal", "cls").distinct()
+    w = Window.partitionBy("cls").orderBy("literal")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sample_per_class)
+        .drop("rn")
+    )
+
+
+def train_entity_classifier(
+    pairs: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    epochs: int = 600,
+    lr: float = 5.0,
+    l2: float = 1e-5,
+    seed: int = 13,
+) -> EntityClassifier:
+    """Full-batch gradient maxent on collected (literal, cls) pairs.
+
+    Driver-side on purpose: the training set is dictionary-scale and
+    per-class capped upstream; the expensive corpus side never touches
+    the driver."""
+    rows = pairs.collect()
+    texts = [r["literal"] for r in rows]
+    labels = [r["cls"] for r in rows]
+    classes = sorted(set(labels))
+    cindex = {c: j for j, c in enumerate(classes)}
+    y = np.array([cindex[l] for l in labels], dtype=np.int64)
+    x = _featurize(texts, n_buckets)
+
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((n_buckets, len(classes))) * 0.01).astype(np.float32)
+    b = np.zeros(len(classes), dtype=np.float32)
+    onehot = np.eye(len(classes), dtype=np.float32)[y]
+    for _ in range(epochs):
+        z = x @ w + b
+        z -= z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        p = e / e.sum(axis=1, keepdims=True)
+        g = (p - onehot) / len(y)
+        w -= lr * (x.T @ g + l2 * w)
+        b -= lr * g.sum(axis=0)
+    return EntityClassifier(w, b, classes)
+
+
+CLASSIFIED_SCHEMA = (
+    "doc_id long, begin int, end int, phrase string, cls long, "
+    "prob double, margin double"
+)
+
+
+def classify_phrases(
+    phrases: DataFrame,
+    model: EntityClassifier,
+    margin: float = 0.6,
+) -> DataFrame:
+    """Classify (doc_id, begin, end, phrase) rows; keep predictions whose
+    top1−top2 probability margin exceeds ``margin`` (reference threshold
+    0.6, EntityClassification.java:56-147). Arrow-batched; the weight
+    matrix ships once per executor in the UDF closure (a few MB)."""
+    cols = phrases.select("doc_id", "begin", "end", "phrase")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            p = model.predict_proba(pdf["phrase"].tolist())
+            order = np.argsort(-p, axis=1)
+            top1 = p[np.arange(len(p)), order[:, 0]]
+            top2 = p[np.arange(len(p)), order[:, 1]] if p.shape[1] > 1 else np.zeros(len(p))
+            m = top1 - top2
+            keep = m > margin
+            if not keep.any():
+                continue
+            cls = np.array(model.classes)[order[:, 0]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values[keep],
+                    "begin": pdf["begin"].values[keep],
+                    "end": pdf["end"].values[keep],
+                    "phrase": pdf["phrase"].values[keep],
+                    "cls": cls[keep].astype("int64"),
+                    "prob": top1[keep].astype("float64"),
+                    "margin": m[keep].astype("float64"),
+                }
+            )
+
+    return cols.mapInPandas(gen, CLASSIFIED_SCHEMA)

@@ -31,8 +31,11 @@ _NT_RE = r'^\s*<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"[^\s]*)\s
 
 
 def parse_ntriples(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """A1: scan N-Triples dumps (gz/bz2 transparently via spark.read.text)
-    → (object_triples(s,p,o), datatype_triples(s,p,literal)).
+    """A1 + A4: scan N-Triples dumps (gz/bz2 transparently via
+    spark.read.text) and split by object kind — object-property triples
+    vs datatype-property (literal) triples, two outputs
+    (RDFTripleParser.java:221-240) → (object_triples(s,p,o),
+    datatype_triples(s,p,literal)).
 
     Reference: streaming Sesame RIO parse with a thread per dump
     (RDFTripleParser.java:131-380); here one distributed text scan —

@@ -82,9 +82,11 @@ class KB:
         )
 
     def write(self, base: str, fmt: str = "parquet") -> None:
-        """Persist KB tables. On a real cluster this is
-        ``writeTo(...).partitionedBy(bucket(N, prefix))`` into Iceberg;
-        parquet is the sandbox stand-in (Iceberg jars not shipped)."""
+        """A5 + A10: bulk-load sink (reference: CSV COPY + deferred
+        b-tree indexes, PostgresKB.java:877-934). On a real cluster this
+        is ``writeTo(...).partitionedBy(bucket(N, prefix))`` into
+        Iceberg — the partition/sort layout IS the index; parquet is the
+        sandbox stand-in (Iceberg jars not shipped)."""
         self.resources.write.mode("overwrite").format(fmt).save(f"{base}/resources")
         self.literals.repartition("prefix").write.mode("overwrite").format(fmt).save(
             f"{base}/literals"

@@ -381,12 +381,90 @@ def _filter_resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame
     return _resolve_doc(cand, edges)
 
 
+def _make_filter_resolve_adj(adj: dict):
+    """Batch fn for the broadcast-adjacency fused stage: like
+    :func:`_filter_resolve_doc` but synthesizes each document's
+    expansion-edge arrays from the broadcast per-subject adjacency
+    instead of receiving shuffled edge rows. ``adj`` maps
+    subject → tuple of (src, dst, dir) with dir ∈ {'f','b'}."""
+    import numpy as np
+
+    from .spotting import _filter_batch
+
+    def fn(cand: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand):
+            return cand.iloc[0:0].drop(
+                columns=["__resolver", "tile_ok"], errors="ignore"
+            ).reindex(columns=_CAND_COLS)
+        resolver = cand["__resolver"].iloc[0]
+        cand = _filter_batch(cand.drop(columns=["__resolver"]), drop_suffix=True)
+        if not len(cand):
+            return cand.reindex(columns=_CAND_COLS)
+
+        doc = cand["doc_id"].values
+        phrases = cand["surface"].str.lower().values
+        lit_nodes = (-(cand["lit_id"].astype("int64") + 1)).values
+        subjects = cand["subject"].values.astype("int64")
+        keep = np.ones(len(cand), dtype=bool)
+        c_bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1], True])
+        for k in range(len(c_bounds) - 1):
+            i0, i1 = c_bounds[k], c_bounds[k + 1]
+            es, ed_, edir, eanc = [], [], [], []
+            for s in set(subjects[i0:i1].tolist()):
+                for a, b, d in adj.get(s, ()):
+                    es.append(a)
+                    ed_.append(b)
+                    edir.append(d)
+                    eanc.append(s)
+            losers = _resolve_one(
+                phrases[i0:i1].tolist(),
+                lit_nodes[i0:i1].tolist(),
+                subjects[i0:i1].tolist(),
+                es,
+                ed_,
+                edir,
+                eanc,
+                resolver,
+            )
+            if losers:
+                for i in range(i0, i1):
+                    if subjects[i] in losers:
+                        keep[i] = False
+        return cand[keep][_CAND_COLS]
+
+    return fn
+
+
+def kb_adjacency(kb: KB, max_rows: int | None = 5_000_000) -> dict | None:
+    """Collect the non-rdf:type relation rows as a per-subject adjacency
+    map {subject: ((src, dst, dir), ...)} with one entry under EACH
+    endpoint (dir='f' under the subject side, 'b' under the object
+    side) — the broadcast twin of :func:`expansion_edges`.
+
+    Returns None when the KB graph exceeds ``max_rows`` (broadcasting a
+    multi-GB adjacency would be worse than the shuffle; the caller falls
+    back to the edge-join path). At DBpedia's ~10^8 relations the
+    fallback triggers; for bounded domain KBs the broadcast path removes
+    the largest shuffle of the pipeline (edges × documents)."""
+    type_id = kb.rdf_type_id
+    rel = kb.relations if type_id is None else kb.relations.filter(F.col("p") != type_id)
+    if max_rows is not None and rel.limit(max_rows + 1).count() > max_rows:
+        return None
+    adj: dict[int, list] = {}
+    for r in rel.select("s", "o").distinct().toLocalIterator():
+        s, o = r["s"], r["o"]
+        adj.setdefault(s, []).append((s, o, "f"))
+        adj.setdefault(o, []).append((s, o, "b"))
+    return {k: tuple(v) for k, v in adj.items()}
+
+
 def spot_resolve(
     candidates_raw: DataFrame,
     kb: KB,
     resolver: str = "degree",
     gazetteer: DataFrame | None = None,
     subject_filter: DataFrame | None = None,
+    adjacency: dict | None = None,
 ) -> DataFrame:
     """Fused B8-B21: gazetteer join + symbols join (both broadcast-sized
     dims at KB-dictionary scale, sort-merge otherwise — Catalyst/AQE
@@ -412,8 +490,29 @@ def spot_resolve(
     cand_subj = raw.join(sym, ["prop_id", "lit_id"])
     if subject_filter is not None:  # SPARQL-template rdf:type pushdown (O1)
         cand_subj = cand_subj.join(subject_filter, "subject", "left_semi")
-    edges = expansion_edges(cand_subj, kb)
     tagged = cand_subj.withColumn("__resolver", F.lit(resolver))
+    span_sort = [
+        F.col("begin").asc(),
+        F.col("end").desc(),
+        F.col("prop_id").asc(),
+        F.col("lit_id").asc(),
+        F.col("subject").asc(),
+    ]
+    if adjacency is not None:
+        # broadcast-adjacency form: the KB expansion edges never touch a
+        # shuffle — each doc's edge set is rebuilt from the (closure-
+        # broadcast) adjacency inside the Arrow pass
+        from .grouped import grouped_apply
+
+        return grouped_apply(
+            tagged,
+            "doc_id",
+            _make_filter_resolve_adj(adjacency),
+            CANDIDATES_SCHEMA,
+            batch_mode=True,
+            sort_cols=span_sort,
+        )
+    edges = expansion_edges(cand_subj, kb)
     return cogrouped_apply(
         tagged,
         edges,
@@ -422,13 +521,7 @@ def spot_resolve(
         _filter_resolve_doc,
         CANDIDATES_SCHEMA,
         batch_mode=True,
-        left_sort_cols=[
-            F.col("begin").asc(),
-            F.col("end").desc(),
-            F.col("prop_id").asc(),
-            F.col("lit_id").asc(),
-            F.col("subject").asc(),
-        ],
+        left_sort_cols=span_sort,
     )
 
 

@@ -46,6 +46,11 @@ class PipelineConfig:
     np_candidate_filter: bool = False  # B6 proper-name gate on candidate starts
     fused: bool = True                 # ONE shuffle+Arrow pass for B8-B21; False =
                                        # staged path (finer checkpoints for resume)
+    # broadcast the KB relation graph as a per-subject adjacency when it
+    # has at most this many non-type edges — the expansion edges then
+    # never shuffle (rebuilt per doc inside the Arrow pass). Above the
+    # cap (DBpedia-sized KBs) the edge-join path runs instead. 0 = off.
+    adjacency_max_rows: int = 5_000_000
     salt_partitions: int | None = None  # docs repartition width
     markov_chain: DataFrame | None = None
     type_clusters: DataFrame | None = None
@@ -53,7 +58,12 @@ class PipelineConfig:
     # consumed by MULTIPLE downstream operators need one; single-consumer
     # stages fuse into their consumer's job (fewer job barriers = less
     # fixed overhead per run). 'resolved' feeds recognized/known/types.
-    cut_stages: tuple = ("resolved",)
+    # 'candidates' is consumed TWICE by the fused stage (the span rows
+    # and the expansion-edge fetch are two branches of one cogroup
+    # union) — without a cut the tokenize/suffix Arrow pass, the most
+    # expensive stage, would execute once per branch. 'resolved' feeds
+    # recognized/known/types.
+    cut_stages: tuple = ("candidates", "resolved")
     # cut the KB tables' lineage up front (needed for ETL-built KBs whose
     # plans would otherwise be re-embedded by every stage; a KB made of
     # local/in-memory relations can skip it)
@@ -90,11 +100,27 @@ def _stage(cfg: PipelineConfig, name: str, df: DataFrame, spark: SparkSession) -
     if not os.path.exists(marker):
         df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    n = out.count()
-    rec = {"stage": name, "rows": n, "wall_sec": round(time.time() - t0, 3)}
+    # per-partition lineage: row count per physical partition of the
+    # checkpoint (skew telemetry + resumable audit, north_rule)
+    per_part = {
+        r["pid"]: r["count"]
+        for r in out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    }
+    n = sum(per_part.values())
+    sizes = sorted(per_part.values())
+    rec = {
+        "stage": name,
+        "rows": n,
+        "wall_sec": round(time.time() - t0, 3),
+        "n_partitions": len(per_part),
+        "partition_rows_min": sizes[0] if sizes else 0,
+        "partition_rows_max": sizes[-1] if sizes else 0,
+        "partition_skew": round(sizes[-1] * len(sizes) / max(n, 1), 3) if sizes else 0.0,
+    }
     cfg.metrics.append(rec)
     with open(os.path.join(cfg.checkpoint_dir, "metrics.jsonl"), "a") as fh:
         fh.write(json.dumps(rec) + "\n")
+        fh.write(json.dumps({"stage": name, "partition_rows": per_part}) + "\n")
     return out
 
 
@@ -160,11 +186,21 @@ def extract_triples(
     if cfg.fused:
         # ONE doc_id shuffle + ONE Arrow pass for span filters +
         # disambiguation (gazetteer/symbols joins stay narrow upstream)
+        adjacency = (
+            linking.kb_adjacency(kb, cfg.adjacency_max_rows)
+            if cfg.adjacency_max_rows
+            else None
+        )
         resolved = _stage(
             cfg,
             "resolved",
             linking.spot_resolve(
-                candidates, kb, cfg.resolver, gazetteer=gazetteer, subject_filter=typed
+                candidates,
+                kb,
+                cfg.resolver,
+                gazetteer=gazetteer,
+                subject_filter=typed,
+                adjacency=adjacency,
             ),
             spark,
         )

@@ -841,6 +841,31 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_b14_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """B14: maxent entity classification of phrase spans — trained on
+    the synthetic KB's (literal → rdf:type) pairs, applied to the
+    planted labels with the reference's 0.6 margin rule
+    (EntityClassification.java:56-147). Rows-only (learned weights are
+    not SQL-expressible)."""
+    from . import classify
+    from .fixtures import synth_kb
+
+    kb = synth_kb(spark, n_instances=100)
+    clf = classify.train_entity_classifier(classify.training_pairs(kb), epochs=1200)
+    phrases = (
+        kb.symbols.join(kb.literals.withColumnRenamed("id", "lit"), "lit")
+        .select(
+            F.col("s").alias("doc_id"),
+            F.lit(0).alias("begin"),
+            F.length("literal").alias("end"),
+            F.col("literal").alias("phrase"),
+        )
+        .distinct()
+    )
+    out = classify.classify_phrases(phrases, clf, margin=0.3)
+    return out.groupBy("cls").agg(F.count("*").alias("n_accepted"))
+
+
 def q_micro_pipeline_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship on the micro fixture with the PageRank resolver (B20
     non-default strategy, PageRankBasedResolver.java:44-85)."""
@@ -934,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b6_noun_phrases": q_b6_noun_phrases,
         "b17_components": q_b17_components,
         "multimodal_features": q_multimodal_features,
+        "b14_classify": q_b14_classify,
         "micro_pipeline_pagerank": q_micro_pipeline_pagerank,
         "micro_rdfa": q_micro_rdfa,
         "flagship_triples": q_flagship_triples,

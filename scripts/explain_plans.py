@@ -1,0 +1,60 @@
+"""Dump physical plans for the headline queries — the .explain audit.
+
+Checks, per query, the things that matter at 100 TB and prints a
+one-line verdict plus the formatted plan:
+
+* filters/column pruning reach the parquet scan (PushedFilters /
+  ReadSchema),
+* small dims broadcast (BroadcastHashJoin) instead of shuffling,
+* expressions stay inside WholeStageCodegen spans,
+* no CartesianProduct / unexpected SortMergeJoin on tiny sides.
+
+Usage: python scripts/explain_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT = [
+    "tpch_q1",
+    "tpch_q5like",
+    "c_point_lookup",
+    "a12_cardinalities",
+    "b9_phrase_spotting",
+    "dedup_exact",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    from scoobie_spark import queries as q
+    from scoobie_spark.session import get_spark
+
+    spark = get_spark("explain", cores=4)
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    qs = q.queries()
+    for name in names:
+        df = qs[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        checks = {
+            "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+            "codegen": "WholeStageCodegen" in plan,
+            "broadcast_join": "BroadcastHashJoin" in plan or "Join" not in plan,
+            "no_cartesian": "CartesianProduct" not in plan
+            or name.startswith(("ann_", "dedup_embedding")),  # intended all-pairs
+        }
+        verdict = " ".join(f"{k}={'Y' if v else 'n'}" for k, v in checks.items())
+        print(f"===== {name}: {verdict}")
+        print(plan)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,8 +3,19 @@
 Runs the flagship KG-construction job at two (or more) parallelism
 levels on identical input, several runs each, and prints per-run +
 median throughput and the scaling efficiency between consecutive
-levels. Each run is a fresh JVM (os.fork-free: subprocess) so
-driver-memory and core counts actually apply.
+levels.
+
+Fidelity details:
+
+* Each run is a fresh JVM (subprocess) so core counts actually apply.
+* Each run is **pinned with taskset** to exactly N CPUs — ``local[N]``
+  alone is NOT an N-core machine (GC/shuffle/Python workers would
+  overflow onto the idle cores and flatter the small-N runs).
+* A pure-CPU burn benchmark runs at each level first (also pinned).
+  On this sandbox's shared VM the burn itself scales sub-linearly
+  (host steal + full-load frequency scaling), so the report carries
+  BOTH the raw job efficiency and the efficiency normalized by the
+  same-machine hardware ceiling: eff_norm = job_speedup / burn_speedup.
 
 Usage: python scripts/scaling_bench.py [runs] [cores...]
 Env: SPARK_GRAFT_CORPUS_FACTOR / SPARK_GRAFT_FILLER_REPEAT / SF_DIR.
@@ -32,11 +43,29 @@ dt = time.time() - t0
 print("\nBENCHROW " + __import__("json").dumps({"cores": cores, "sec": round(dt,1), "triples": n, "tps": round(n/dt,1)}))
 """
 
+BURN_SNIPPET = r"""
+import multiprocessing as mp, time, os, json
+def burn(_):
+    t0 = time.time(); x = 0
+    while time.time() - t0 < 4: x += 1
+    return x
+if __name__ == "__main__":
+    n = int(os.environ["BENCH_CORES"])
+    with mp.Pool(n) as p:
+        r = p.map(burn, range(n))
+    print("BURNROW " + json.dumps({"cores": n, "iters_per_sec": sum(r) / 4}))
+"""
+
+
+def _pinned(cores: int) -> list[str]:
+    return ["taskset", "-c", f"0-{cores - 1}"]
+
 
 def one_run(cores: int) -> dict:
     env = dict(os.environ, BENCH_CORES=str(cores))
     out = subprocess.run(
-        [sys.executable, "-c", RUN_SNIPPET], capture_output=True, text=True, env=env
+        [*_pinned(cores), sys.executable, "-c", RUN_SNIPPET],
+        capture_output=True, text=True, env=env,
     )
     for line in (out.stdout + out.stderr).replace("\r", "\n").splitlines():
         if line.startswith("BENCHROW "):
@@ -44,11 +73,26 @@ def one_run(cores: int) -> dict:
     raise RuntimeError(f"run failed (cores={cores}):\n{out.stderr[-2000:]}")
 
 
+def burn_run(cores: int) -> float:
+    env = dict(os.environ, BENCH_CORES=str(cores))
+    out = subprocess.run(
+        [*_pinned(cores), sys.executable, "-c", BURN_SNIPPET],
+        capture_output=True, text=True, env=env,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BURNROW "):
+            return json.loads(line[len("BURNROW "):])["iters_per_sec"]
+    raise RuntimeError(f"burn failed (cores={cores}):\n{out.stderr[-500:]}")
+
+
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     levels = [int(c) for c in sys.argv[2:]] or [8, 32]
-    os.environ.setdefault("SPARK_GRAFT_CORPUS_FACTOR", "80")
-    os.environ.setdefault("SPARK_GRAFT_FILLER_REPEAT", "50")
+    os.environ.setdefault("SPARK_GRAFT_CORPUS_FACTOR", "240")
+    os.environ.setdefault("SPARK_GRAFT_FILLER_REPEAT", "5")
+
+    burn = {c: statistics.median(burn_run(c) for _ in range(3)) for c in levels}
+    print(f"burn iters/s: {burn}", flush=True)
 
     results: dict[int, list[dict]] = {}
     for cores in levels:
@@ -67,17 +111,23 @@ def main() -> None:
             "filler_repeat": os.environ["SPARK_GRAFT_FILLER_REPEAT"],
             "sf_dir": os.environ.get("SF_DIR", "/root/testdata/sf0.1"),
             "runs": runs,
+            "pinned": True,
         },
         "median_sec": medians,
         "median_tps": {
             c: round(statistics.median(r["tps"] for r in rs), 1)
             for c, rs in results.items()
         },
+        "burn_iters_per_sec": burn,
         "runs": results,
     }
     for lo, hi in zip(levels, levels[1:]):
-        eff = (medians[lo] / medians[hi]) / (hi / lo)
-        report[f"efficiency_{lo}to{hi}"] = round(eff, 3)
+        speedup = medians[lo] / medians[hi]
+        ceiling = burn[hi] / burn[lo]
+        report[f"speedup_{lo}to{hi}"] = round(speedup, 3)
+        report[f"hw_ceiling_{lo}to{hi}"] = round(ceiling, 3)
+        report[f"efficiency_{lo}to{hi}"] = round(speedup / (hi / lo), 3)
+        report[f"efficiency_norm_{lo}to{hi}"] = round(speedup / ceiling, 3)
     print("SCALING " + json.dumps(report))
 
 

@@ -58,6 +58,27 @@ def test_sha256_invariant_enforced(spark):
         extract_triples(spark, corrupted, kb).collect()
 
 
+def test_three_physical_paths_identical(spark, triples):
+    """The fused broadcast-adjacency path (default), the fused edge-join
+    path, and the staged spot→resolve→disambiguate path must emit the
+    SAME triple set — they are physical strategies for one logical
+    plan."""
+    docs = micro_docs(spark)
+    kb = micro_kb(spark)
+    want = {tuple(r) for r in triples.select("graph", "subj", "pred", "obj").collect()}
+    for cfg in (
+        PipelineConfig(adjacency_max_rows=0),  # fused, edge-join cogroup
+        PipelineConfig(fused=False),           # staged B8-B21
+    ):
+        got = {
+            tuple(r)
+            for r in extract_triples(spark, docs, kb, cfg)
+            .select("graph", "subj", "pred", "obj")
+            .collect()
+        }
+        assert got == want, f"path mismatch for {cfg}"
+
+
 def test_checkpoint_resume(spark, tmp_path):
     """north_rule resumability: second run with the same checkpoint dir
     reuses stage outputs and produces the identical triple set."""
