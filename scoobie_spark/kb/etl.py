@@ -62,14 +62,36 @@ def parse_ntriples(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     return obj, dat
 
 
+# characters java.net.URI rejects in RFC-2396 URIs → percent encoding
+# (reference fixJavaURI, RDFTripleParser.java:256-273, encodes exactly
+# the chars that make `new java.net.URI(uri)` throw, one at a time; a
+# static char map is the vectorizable equivalent)
+_BAD_URI_CHARS = [
+    (" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"), ("\\", "%5C"),
+    ("^", "%5E"), ("`", "%60"), ("{", "%7B"), ("|", "%7C"), ("}", "%7D"),
+]
+
+
+def fix_uri(c):
+    """A2 (fixJavaURI): percent-encode URI-invalid characters, pure
+    Column expression (chained replaces — no UDF)."""
+    out = c
+    for ch, enc in _BAD_URI_CHARS:
+        out = F.replace(out, F.lit(ch), F.lit(enc))
+    return out
+
+
 def cleanse_triples(obj: DataFrame, dat: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """A2: drop over-long URIs, trim/length-filter literals.
+    """A2: drop over-long URIs, percent-encode URI-invalid chars,
+    trim/length-filter literals.
 
     Reference RDFTripleParser.java:205-244: URIs > 120 chars dropped;
-    literals stripped of [\\n\\t\\"] and kept only when the trimmed
-    length is in [2, 100].
+    bad URI chars URL-encoded (fixJavaURI :256-273); literals stripped
+    of [\\n\\t\\"] and kept only when the trimmed length is in [2, 100].
     """
     uri_ok = lambda c: (F.length(c) > 0) & (F.length(c) <= MAX_URI_LEN)  # noqa: E731
+    obj = obj.select(*[fix_uri(F.col(c)).alias(c) for c in ("s", "p", "o")])
+    dat = dat.select(fix_uri(F.col("s")).alias("s"), fix_uri(F.col("p")).alias("p"), "literal")
     obj_c = obj.filter(uri_ok(F.col("s")) & uri_ok(F.col("p")) & uri_ok(F.col("o")))
     lit = F.trim(F.regexp_replace(F.col("literal"), '[\\n\\t"\\\\]', ""))
     dat_c = (

@@ -63,6 +63,46 @@ def streaming_extract(
     return writer.start()
 
 
+DEDUP_OUT_SCHEMA = "sha256 string, repo string, path string, commit string"
+
+
+def streaming_dedup_first(stream_docs: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): emit each
+    content hash the FIRST time it is seen across the whole stream —
+    streaming exact-dedup for a training-data ingest pipeline. State per
+    sha256 group is one int flag; output mode 'append'.
+
+    At scale the state store shards by the group key across executors
+    (RocksDB state backend on a real cluster); the operator is the
+    streaming twin of ``extras.dedup.exact_duplicates``."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        first = None
+        for pdf in pdfs:
+            if seen == 0 and len(pdf):
+                first = pdf.iloc[:1][["sha256", "repo", "path", "commit"]]
+                seen = 1
+        state.update((seen,))
+        if first is not None:
+            yield first
+
+    return (
+        stream_docs.select("sha256", "repo", "path", "commit")
+        .groupBy("sha256")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

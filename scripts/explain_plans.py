@@ -37,6 +37,10 @@ def main() -> None:
     from scoobie_spark.session import get_spark
 
     spark = get_spark("explain", cores=4)
+    # AQE's AdaptiveSparkPlan wrapper hides codegen ids / join choices
+    # from the pre-execution explain string; audit with AQE off (the
+    # static plan), production runs keep AQE on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs = q.queries()
     for name in names:
@@ -46,8 +50,10 @@ def main() -> None:
         )
         checks = {
             "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
-            "codegen": "WholeStageCodegen" in plan,
-            "broadcast_join": "BroadcastHashJoin" in plan or "Join" not in plan,
+            "codegen": "codegen id" in plan or "WholeStageCodegen" in plan,
+            "broadcast_join": "BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan  # broadcast cross joins
+            or "Join" not in plan,
             "no_cartesian": "CartesianProduct" not in plan
             or name.startswith(("ann_", "dedup_embedding")),  # intended all-pairs
         }

@@ -163,3 +163,32 @@ def test_rdfa_serializer(spark):
     assert '<span about="http://example.org/instance#Percy_Jackson"' in markup
     assert ">Percy Jackson</span>" in markup
     assert markup.count("<span") == 2
+
+
+def test_streaming_dedup_first(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: one row per content hash
+    across micro-batches."""
+    from scoobie_spark.fixtures import micro_docs
+    from scoobie_spark.streaming import streaming_dedup_first
+
+    src = tmp_path / "in"
+    src.mkdir()
+    docs = micro_docs(spark)
+    # duplicate the corpus → every sha appears twice in the stream
+    docs.write.parquet(str(src / "a"))
+    docs.write.parquet(str(src / "b"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src) + "/*")
+    q = (
+        streaming_dedup_first(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_first")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sha256 FROM dedup_first").collect()
+    shas = [r["sha256"] for r in got]
+    n_unique = docs.select("sha256").distinct().count()
+    assert len(shas) == len(set(shas)) == n_unique

@@ -110,3 +110,24 @@ def test_parse_ntriples(spark, tmp_path):
     assert [tuple(r) for r in obj.collect()] == [("http://a", "http://p", "http://b")]
     lits = {r["literal"] for r in dat.collect()}
     assert lits == {'A "quoted" thing', "typed", "lang"}
+
+
+def test_fix_uri_percent_encoding(spark):
+    """A2 fixJavaURI parity (RDFTripleParser.java:256-273): URI-invalid
+    chars percent-encoded, valid URIs untouched."""
+    from scoobie_spark.kb.etl import cleanse_triples
+
+    obj = spark.createDataFrame(
+        [
+            ("http://a/with space", "http://p", "http://b{x}"),
+            ("http://clean", "http://p", "http://also|bad"),
+        ],
+        "s string, p string, o string",
+    )
+    dat = spark.createDataFrame([], "s string, p string, literal string")
+    obj_c, _ = cleanse_triples(obj, dat)
+    rows = {tuple(r) for r in obj_c.collect()}
+    assert rows == {
+        ("http://a/with%20space", "http://p", "http://b%7Bx%7D"),
+        ("http://clean", "http://p", "http://also%7Cbad"),
+    }

@@ -1,0 +1,123 @@
+"""Property tests for the B10-B12 span filters.
+
+An independent, deliberately-naive per-document reimplementation of the
+reference semantics (RDFLiteralSpotting.filterLongestMatches:186-214,
+filterCaseMatches:216-246, token alignment :93-132) is compared against
+the batch-vectorized ``spotting._filter_batch`` on random inputs, and
+against the full Spark ``filter_mentions`` stage with tiny Arrow
+batches (exercising the carry-across-batch stitching in grouped.py).
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scoobie_spark.spotting import _filter_batch
+
+COLS = ["doc_id", "begin", "end", "lit_id", "prop_id", "belief", "literal",
+        "surface", "tile_ok"]
+
+
+def naive_filter(rows):
+    """Reference-faithful per-doc filters over [(doc,a,b,lit,prop,belief,
+    literal,surface,tile_ok)] tuples."""
+    out = []
+    docs = sorted({r[0] for r in rows})
+    for d in docs:
+        drows = [r for r in rows if r[0] == d]
+        # TextPointer ordering + duplicate collapse
+        drows.sort(key=lambda r: (r[1], -r[2], r[4], r[3]))
+        seen = set()
+        uniq = []
+        for r in drows:
+            k = (r[1], r[2], r[3], r[4])
+            if k not in seen:
+                seen.add(k)
+                uniq.append(r)
+        # B10 longest-match: drop matches strictly contained in the last
+        # kept longer span
+        kept = []
+        s0 = None
+        for r in uniq:
+            a, b = r[1], r[2]
+            if s0 is not None and (s0[1] - s0[0]) > (b - a) and a >= s0[0] and b <= s0[1]:
+                continue
+            kept.append(r)
+            s0 = (a, b)
+        # B11 case filter: if any match of this surface is case-exact,
+        # drop the non-exact ones
+        exact_surfaces = {r[7] for r in kept if r[7] == r[6]}
+        kept = [r for r in kept if r[7] == r[6] or r[7] not in exact_surfaces]
+        # B12 tiling flag
+        kept = [r for r in kept if r[8]]
+        out.extend(kept)
+    return {tuple(r[:8]) for r in out}
+
+
+@st.composite
+def span_rows(draw):
+    n_docs = draw(st.integers(1, 4))
+    rows = []
+    for d in range(n_docs):
+        for _ in range(draw(st.integers(0, 12))):
+            a = draw(st.integers(0, 30))
+            ln = draw(st.integers(1, 8))
+            lit = draw(st.sampled_from(["Alpha", "beta", "Gamma D", "x"]))
+            surface = lit if draw(st.booleans()) else lit.lower()
+            rows.append(
+                (d, a, a + ln, draw(st.integers(0, 3)), draw(st.integers(0, 2)),
+                 1.0, lit, surface, draw(st.booleans()))
+            )
+    return rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(span_rows())
+def test_filter_batch_matches_naive(rows):
+    pdf = pd.DataFrame(rows, columns=COLS).sort_values(
+        ["doc_id", "begin", "end", "prop_id", "lit_id"],
+        ascending=[True, True, False, True, True],
+    )
+    got = _filter_batch(pdf.reset_index(drop=True))
+    got_set = {
+        (r.doc_id, r.begin, r.end, r.lit_id, r.prop_id, r.belief, r.literal, r.surface)
+        for r in got.itertuples()
+    }
+    assert got_set == naive_filter(rows)
+
+
+@pytest.mark.parametrize("batch", [3, 1000])
+def test_filter_mentions_tiny_arrow_batches(spark, batch):
+    """The carry-across-Arrow-batch stitching must not change results."""
+    from scoobie_spark.spotting import filter_mentions
+
+    rows = []
+    for d in range(6):
+        for i in range(7):
+            lit = ["Alpha", "beta", "Gamma D"][i % 3]
+            rows.append(
+                (d, i * 2, i * 2 + len(lit), i % 3, i % 2, 1.0, lit,
+                 lit if i % 2 else lit.lower(), i % 5 != 0)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, begin int, end int, lit_id long, prop_id long, "
+        "belief double, literal string, surface string, tile_ok boolean",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+        got = {
+            tuple(r)
+            for r in filter_mentions(df).select(
+                "doc_id", "begin", "end", "lit_id", "prop_id", "literal", "surface"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {
+        (r[0], r[1], r[2], r[3], r[4], r[6], r[7]) for r in map(tuple, rows)
+        if tuple(r[:8]) in naive_filter(rows)
+    }
+    assert got == want
