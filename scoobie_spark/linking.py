@@ -543,6 +543,61 @@ def disambiguate(candidates: DataFrame, kb: KB, resolver: str = "degree") -> Dat
     )
 
 
+def canonicalize_by_label(kb: KB, threshold: float = 0.8, n: int = 2) -> DataFrame:
+    """URI canonicalization, min-hash half (north_rule: "canonicalize
+    URIs via min-hash/sorted-key union-find"): subjects whose label
+    literals are MinHash-LSH near-duplicates (word n-gram Jaccard ≥
+    threshold) collapse into one canonical id via the distributed
+    union-find (:func:`scoobie_spark.graph.connected_components` —
+    min-label propagation IS union-find in dataflow form).
+
+    Returns (subject, canonical_id); subjects with no near-dup twin map
+    to themselves. Compose with :func:`canonical_uri_map` (the
+    sorted-key half) for string-normalization duplicates."""
+    from .extras.dedup import minhash_lsh_pairs
+    from .graph import connected_components
+
+    labels = (
+        kb.symbols.join(kb.literals.withColumnRenamed("id", "lit"), "lit")
+        .select(F.col("s").alias("doc_id"), F.col("literal").alias("text"))
+        .distinct()
+    )
+    pairs = minhash_lsh_pairs(labels, threshold=threshold, n=n)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc = connected_components(edges).select(
+        F.col("node").alias("subject"), F.col("component").alias("canonical_id")
+    )
+    all_subjects = kb.symbols.select(F.col("s").alias("subject")).distinct()
+    return (
+        all_subjects.join(cc, "subject", "left")
+        .select(
+            "subject",
+            F.coalesce("canonical_id", F.col("subject")).alias("canonical_id"),
+        )
+    )
+
+
+def apply_canonical_map(triples: DataFrame, canon: DataFrame, resources: DataFrame) -> DataFrame:
+    """Rewrite triple subject URIs through a (subject, canonical_id)
+    map — the materialization step of canonicalization. Non-subject
+    columns untouched; unmapped URIs pass through."""
+    canon_uri = (
+        canon.join(resources.withColumnRenamed("id", "subject"), "subject")
+        .join(
+            resources.select(
+                F.col("id").alias("canonical_id"), F.col("uri").alias("canonical_uri")
+            ),
+            "canonical_id",
+        )
+        .select(F.col("uri").alias("subj"), "canonical_uri")
+    )
+    return (
+        triples.join(F.broadcast(canon_uri), "subj", "left")
+        .withColumn("subj", F.coalesce("canonical_uri", F.col("subj")))
+        .drop("canonical_uri")
+    )
+
+
 def canonical_uri_map(resources: DataFrame) -> DataFrame:
     """URI canonicalization (north_rule: sorted-key union-find): URIs that
     normalize identically (case-insensitive authority, http≡https, no

@@ -51,6 +51,10 @@ class PipelineConfig:
     # never shuffle (rebuilt per doc inside the Arrow pass). Above the
     # cap (DBpedia-sized KBs) the edge-join path runs instead. 0 = off.
     adjacency_max_rows: int = 5_000_000
+    # north_rule URI canonicalization (min-hash union-find over labels):
+    # rewrite emitted subject URIs through the canonical map. Off by
+    # default — it intentionally changes the triple set vs the reference.
+    canonicalize: bool = False
     salt_partitions: int | None = None  # docs repartition width
     markov_chain: DataFrame | None = None
     type_clusters: DataFrame | None = None
@@ -225,6 +229,10 @@ def extract_triples(
             resolved, kb, cfg.markov_chain, cfg.type_clusters
         )
         triples = triples.unionByName(serialize.predicted_triples(predicted, kb))
+
+    if cfg.canonicalize:
+        canon = linking.canonicalize_by_label(kb)
+        triples = linking.apply_canonical_map(triples, canon, kb.resources)
 
     # NO distinct here: every graph branch dedups in id space before the
     # uri decode, and the branches are disjoint on `graph` — a final
