@@ -90,8 +90,25 @@ def test_checkpoint_resume(spark, tmp_path):
     stages1 = [m["stage"] for m in cfg.metrics]
     assert "triples" in stages1 and "resolved" in stages1
 
+    import os
+
+    marker = tmp_path / "candidates" / "_SUCCESS"
+    mtime1 = os.path.getmtime(marker)
+
     cfg2 = PipelineConfig(checkpoint_dir=str(tmp_path))
     t2 = extract_triples(spark, docs, kb, cfg2)
     rows2 = {tuple(r) for r in t2.select("graph", "subj", "pred", "obj").collect()}
     assert rows1 == rows2
     assert (tmp_path / "metrics.jsonl").exists()
+    # stage output was REUSED, not recomputed (resume contract)
+    assert os.path.getmtime(marker) == mtime1
+
+    # partial failure: drop a later stage, keep 'candidates' → resume
+    # recomputes only the missing stage
+    import shutil
+
+    shutil.rmtree(tmp_path / "resolved")
+    t3 = extract_triples(spark, docs, kb, PipelineConfig(checkpoint_dir=str(tmp_path)))
+    rows3 = {tuple(r) for r in t3.select("graph", "subj", "pred", "obj").collect()}
+    assert rows3 == rows1
+    assert os.path.getmtime(marker) == mtime1  # earlier stage still reused
