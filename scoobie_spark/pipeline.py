@@ -67,7 +67,7 @@ class PipelineConfig:
     # union) — without a cut the tokenize/suffix Arrow pass, the most
     # expensive stage, would execute once per branch. 'resolved' feeds
     # recognized/known/types.
-    cut_stages: tuple = ("candidates", "resolved")
+    cut_stages: tuple = ("candidates", "resolved", "summary")
     # cut the KB tables' lineage up front (needed for ETL-built KBs whose
     # plans would otherwise be re-embedded by every stage; a KB made of
     # local/in-memory relations can skip it)
@@ -219,9 +219,17 @@ def extract_triples(
         )
 
     # --- B22-B25: facts + triples --------------------------------------
-    types = linking.subject_types(resolved, kb)
-    recognized = serialize.recognized_triples(resolved, types, kb)
-    known = serialize.known_triples(facts.known_facts(resolved, kb), kb)
+    # ONE dedup shuffle over the resolved table; every output branch
+    # (recognized labels, rdf:type rows, known facts) derives from it
+    summary = _stage(
+        cfg,
+        "summary",
+        resolved.select("doc_id", "subject", "prop_id", "surface").distinct(),
+        spark,
+    )
+    types = linking.subject_types(summary, kb)
+    recognized = serialize.recognized_triples(summary, types, kb, assume_distinct=True)
+    known = serialize.known_triples(facts.known_facts(summary, kb), kb)
     triples = recognized.unionByName(known)
 
     if cfg.recommend and cfg.markov_chain is not None and cfg.type_clusters is not None:

@@ -29,19 +29,28 @@ def _uri(resources: DataFrame, id_col: str, out: str) -> DataFrame:
     return resources.select(F.col("id").alias(id_col), F.col("uri").alias(out))
 
 
-def recognized_triples(resolved: DataFrame, types: DataFrame, kb: KB) -> DataFrame:
-    """(subj, prop, surface) + (subj, rdf:type, type)."""
+def recognized_triples(
+    resolved: DataFrame, types: DataFrame, kb: KB, assume_distinct: bool = False
+) -> DataFrame:
+    """(subj, prop, surface) + (subj, rdf:type, type).
+
+    ``assume_distinct=True`` when the caller already deduplicated
+    (doc_id, subject, prop_id, surface) — the pipeline does ONE such
+    dedup and feeds every output branch from it, so the 10^?-row
+    resolved table shuffles once, not once per branch."""
     r = kb.resources
+    base = resolved.select("doc_id", "subject", "prop_id", "surface")
+    if not assume_distinct:
+        base = base.distinct()
     labels = (
-        resolved.select("doc_id", "subject", "prop_id", "surface")
-        .distinct()
+        base
         .join(_uri(r, "subject", "subj"), "subject")
         .join(_uri(r, "prop_id", "pred"), "prop_id")
         .select("doc_id", F.lit("recognized").alias("graph"), "subj", "pred", F.col("surface").alias("obj"))
     )
+    doc_subjects = base.select("doc_id", "subject") if assume_distinct else resolved.select("doc_id", "subject")
     type_rows = (
-        resolved.select("doc_id", "subject")
-        .distinct()
+        doc_subjects.distinct()
         .join(types, "subject")
         .join(_uri(r, "subject", "subj"), "subject")
         .join(_uri(r, "type_id", "obj"), "type_id")

@@ -44,6 +44,16 @@ def get_spark(
         # batch-vectorized stages (they amortize per-batch numpy setup)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # shuffle/spill to tmpfs when available: the single-box analogue
+        # of cluster executors' local NVMe — keeps shuffle I/O off the
+        # one shared system disk (set SPARK_LOCAL_DIRS to override)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deep multi-stage plans re-embed lineage at every reuse; don't let
