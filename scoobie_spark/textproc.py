@@ -132,28 +132,35 @@ def suffix_candidates(
     sha_cols = ["sha256"] if check_sha256 and "sha256" in docs.columns else []
     cols = docs.select("doc_id", "content", *sha_cols)
 
-    def doc_candidates(text: str):
-        """Vectorized per-doc candidate generation: token starts from the
-        regex, then numpy codepoint math for the alnum filter and the
-        two Java prefix hashes. Tokens whose 4-char prefix leaves ASCII
-        fall back to the exact python hash (unicode lowercasing)."""
+    def batch_candidates(texts: list[str]):
+        """Whole-BATCH vectorized candidate generation: all texts join
+        into one buffer separated by NUL (never a word char, so tokens
+        cannot cross documents), the token regex and the numpy
+        codepoint/hash math run ONCE per Arrow batch instead of once
+        per document — per-doc fixed numpy overhead disappears.
+
+        Returns (doc_idx, begin_local, hash) arrays for prefix-hash
+        matches; suffix slices are clipped at each document's end.
+        """
+        joined = "\0".join(texts)
+        # document start offset of each text within `joined`
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        doc_off = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=doc_off[1:])
+        doc_end = doc_off + lens
+
         starts = np.fromiter(
-            (m.start() for m in _TOKEN_RE.finditer(text)), dtype=np.int64
+            (m.start() for m in _TOKEN_RE.finditer(joined)), dtype=np.int64
         )
         if len(starts) == 0:
-            return [], []
-        # codepoint array: 1 byte/char for ASCII text (4× less memory
-        # bandwidth than utf-32; corpora are overwhelmingly ASCII)
-        if text.isascii():
-            cp = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            return None
+        if joined.isascii():
+            cp = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(np.int64)
         else:
-            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
         cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.int64)])
         first = cp_pad[starts]
         if np_filter:
-            # B6-analogue proper-name gate (SuffixArrayBuilder.
-            # filterNounPhrases): only capitalized/numeric token starts
-            # feed the gazetteer probe
             ascii_alnum = ((first >= 48) & (first <= 57)) | (
                 (first >= 65) & (first <= 90)
             )
@@ -164,11 +171,18 @@ def suffix_candidates(
                 | ((first >= 97) & (first <= 122))
             )
         non_ascii = first > 127
-        # prefix window codepoints + availability
-        n_avail = np.minimum(4, len(cp) - starts)
-        win = np.stack([cp_pad[starts + k] for k in range(4)], axis=1)
-        pure_ascii_prefix = (win * (np.arange(4)[None, :] < n_avail[:, None]) <= 127).all(axis=1)
 
+        # map each token start to its document; clip the 4-char window
+        # at the document end (a window crossing the NUL would otherwise
+        # hash the next doc's first chars)
+        didx = np.searchsorted(doc_end, starts, side="right").clip(0, len(texts) - 1)
+        # token starts sitting ON a NUL separator map to the next doc's
+        # range check below and fail it → filtered
+        n_avail = np.minimum(4, doc_end[didx] - starts)
+        win = np.stack([cp_pad[starts + k] for k in range(4)], axis=1)
+        pure_ascii_prefix = (
+            win * (np.arange(4)[None, :] < n_avail[:, None]) <= 127
+        ).all(axis=1)
         lo_win = np.where((win >= 65) & (win <= 90), win + 32, win)
 
         def _hash(w):
@@ -180,37 +194,44 @@ def suffix_candidates(
 
         h_or = _hash(win)
         h_lo = _hash(lo_win)
-
-        fast = ascii_alnum & pure_ascii_prefix
-        out_begin: list[int] = []
-        out_hash: list[int] = []
+        fast = ascii_alnum & pure_ascii_prefix & (n_avail > 0)
         m_lo = fast & np.isin(h_lo, prefix_arr)
         m_or = fast & (h_or != h_lo) & np.isin(h_or, prefix_arr)
-        out_begin.extend(starts[m_lo].tolist())
-        out_hash.extend(h_lo[m_lo].tolist())
-        out_begin.extend(starts[m_or].tolist())
-        out_hash.extend(h_or[m_or].tolist())
+
+        out_start = np.concatenate([starts[m_lo], starts[m_or]])
+        out_hash = np.concatenate([h_lo[m_lo], h_or[m_or]])
+        out_didx = np.concatenate([didx[m_lo], didx[m_or]])
 
         # exact python path for the rare non-ASCII-prefix tokens
-        slow_idx = np.nonzero(~fast & (ascii_alnum | non_ascii))[0]
-        pa = prefix_arr
-        for i in slow_idx:
-            a = int(starts[i])
-            ch = text[a]
-            if np_filter:
-                if not (ch.isupper() or ch.isdigit()):
+        slow = np.nonzero(~fast & (ascii_alnum | non_ascii) & (n_avail > 0))[0]
+        if len(slow):
+            s_start, s_hash, s_didx = [], [], []
+            for i in slow:
+                a = int(starts[i])
+                d = int(didx[i])
+                ch = joined[a]
+                if np_filter:
+                    if not (ch.isupper() or ch.isdigit()):
+                        continue
+                elif not ch.isalnum():
                     continue
-            elif not ch.isalnum():
-                continue
-            pref = text[a : a + 4]
-            hl, ho = java_hash_prefix_py(pref.lower()), java_hash_prefix_py(pref)
-            if np.isin(hl, pa):
-                out_begin.append(a)
-                out_hash.append(hl)
-            if ho != hl and np.isin(ho, pa):
-                out_begin.append(a)
-                out_hash.append(ho)
-        return out_begin, out_hash
+                pref = joined[a : min(a + 4, int(doc_end[d]))]
+                hl, ho = java_hash_prefix_py(pref.lower()), java_hash_prefix_py(pref)
+                if np.isin(hl, prefix_arr):
+                    s_start.append(a)
+                    s_hash.append(hl)
+                    s_didx.append(d)
+                if ho != hl and np.isin(ho, prefix_arr):
+                    s_start.append(a)
+                    s_hash.append(ho)
+                    s_didx.append(d)
+            if s_start:
+                out_start = np.concatenate([out_start, np.asarray(s_start, np.int64)])
+                out_hash = np.concatenate([out_hash, np.asarray(s_hash, np.int64)])
+                out_didx = np.concatenate([out_didx, np.asarray(s_didx, np.int64)])
+
+        begin_local = out_start - doc_off[out_didx]
+        return out_didx, begin_local, out_hash, out_start, joined, doc_end
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -224,22 +245,38 @@ def suffix_candidates(
                         raise RuntimeError(
                             "sha256 invariant violated: content hash mismatch"
                         )
-            texts = _normalize_series(pdf["content"])
-            out_doc, out_begin, out_hash, out_suffix = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"].values, texts.values):
-                begins, hashes = doc_candidates(text)
-                for a, hv in zip(begins, hashes):
-                    out_doc.append(doc_id)
-                    out_begin.append(a)
-                    out_hash.append(hv)
-                    out_suffix.append(text[a : a + MAX_SUFFIX_LEN])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "begin": pd.Series(out_begin, dtype="int32"),
-                    "hash": pd.Series(out_hash, dtype="int32"),
-                    "suffix": pd.Series(out_suffix, dtype="object"),
-                }
-            )
+            texts = _normalize_series(pdf["content"]).tolist()
+            if not texts:
+                continue
+            ids = pdf["doc_id"].values
+            # vectorize over CHUNKS of docs, not the whole Arrow batch:
+            # big enough to amortize the fixed numpy/regex setup
+            # (~100 µs/call), small enough that the codepoint/window
+            # arrays stay cache-resident (a whole 64k-doc batch would
+            # allocate multi-GB temporaries)
+            CHUNK = 256
+            frames = []
+            for c0 in range(0, len(texts), CHUNK):
+                chunk = texts[c0 : c0 + CHUNK]
+                res = batch_candidates(chunk)
+                if res is None:
+                    continue
+                didx, begin_local, hashes, gstart, joined, doc_end = res
+                suffixes = [
+                    joined[int(a) : min(int(a) + MAX_SUFFIX_LEN, int(doc_end[d]))]
+                    for a, d in zip(gstart, didx)
+                ]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pd.Series(ids[c0 + didx], dtype="int64"),
+                            "begin": pd.Series(begin_local, dtype="int32"),
+                            "hash": pd.Series(hashes, dtype="int32"),
+                            "suffix": pd.Series(suffixes, dtype="object"),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     return cols.mapInPandas(gen, CANDIDATES_SCHEMA)
