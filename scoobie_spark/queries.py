@@ -102,10 +102,21 @@ def q_a12_cardinalities(spark: SparkSession, sf: str) -> DataFrame:
     """A12: two-level cardinality aggregate (PostgresKB.java:1177-1204)."""
     l = _T(spark, sf, "lineitem")
     per = l.groupBy("l_suppkey", "l_returnflag").agg(F.count("*").alias("c"))
-    return per.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_subjects"),
-        F.sum("c").alias("n_triples"),
-        F.round(F.sum("c") / F.count("*"), 6).alias("ratio"),
+    # ratio reported in exact integer micro-units: double `round()` is
+    # HALF_UP in Spark but representation-dependent in DuckDB, so the oracle
+    # hash can only be honest if both engines do pure integer arithmetic.
+    return (
+        per.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.sum("c").alias("n_triples"),
+        )
+        .select(
+            "l_returnflag",
+            "n_subjects",
+            "n_triples",
+            F.expr("(n_triples * 1000000) DIV n_subjects").alias("ratio_micro"),
+        )
     )
 
 
@@ -114,7 +125,7 @@ WITH g AS (
   SELECT l_suppkey, l_returnflag, count(*) AS c FROM lineitem GROUP BY 1, 2
 )
 SELECT l_returnflag, count(*) AS n_subjects, sum(c) AS n_triples,
-       round(sum(c) * 1.0 / count(*), 6) AS ratio
+       (sum(c) * 1000000) // count(*) AS ratio_micro
 FROM g GROUP BY 1
 """
 
@@ -417,7 +428,11 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap cumsum sessions per user."""
     e = _T(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # ts carries microseconds: cast to fractional seconds (unix_timestamp()
+    # truncates to whole seconds and disagrees with the oracle's epoch(ts)
+    # on gaps straddling the 1800s boundary).
+    sec = F.col("ts").cast("timestamp").cast("double")  # session tz is UTC
+    gap = sec - F.lag(sec).over(w)
     new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("new_s", new_s)
