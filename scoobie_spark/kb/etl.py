@@ -102,17 +102,55 @@ def cleanse_triples(obj: DataFrame, dat: DataFrame) -> tuple[DataFrame, DataFram
     return obj_c, dat_c
 
 
+def dense_ids(df: DataFrame, order_col: str, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic dense ids 0..n-1 ordered by ``order_col``, with NO
+    single-partition exchange (scale-safe ``zipWithIndex`` semantics as
+    pure DataFrame ops).
+
+    Two-phase numbering: ``repartitionByRange(order_col)`` gives a total
+    order *across* partitions; a tiny count-per-partition job yields the
+    cumulative offset of each range; a broadcast join + per-partition
+    ``row_number`` completes ``id = offset[pid] + local_rank``. The
+    ranged frame is localCheckpointed so the counts job and the id job
+    see identical partition boundaries (range sampling re-runs
+    otherwise). Every exchange here is n-way parallel; at 10^9 keys
+    raise ``num_partitions``, nothing else changes.
+
+    Matches the determinism contract of the old global-window build
+    (same input ⇒ same encoding on any cluster), unlike the reference's
+    load-order Postgres SERIAL (PostgresKB.java:1079-1127).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long").alias("id"),
+            *df.columns,
+        )
+    )
+
+
 def build_resource_dictionary(obj: DataFrame, dat: DataFrame) -> DataFrame:
     """A6: URI dictionary = distinct union of relation s/p/o + symbol s/p
     (PostgresKB.storeResourceIndex, PostgresKB.java:1079-1127), with
-    deterministic dense ids via row_number over the sorted URI set.
-
-    The global window (no partition key) is fine here: the *distinct*
-    URI set is orders of magnitude smaller than the triple set, and id
-    assignment is a one-time ETL step. For a 10^9-URI dictionary swap in
-    ``zipWithIndex``-style two-phase numbering (per-partition count +
-    offset) — semantics identical.
-    """
+    deterministic dense ids via scale-safe two-phase numbering over the
+    sorted URI set (see :func:`dense_ids`)."""
     uris = (
         obj.select(F.col("s").alias("uri"))
         .unionByName(obj.select(F.col("p").alias("uri")))
@@ -121,23 +159,16 @@ def build_resource_dictionary(obj: DataFrame, dat: DataFrame) -> DataFrame:
         .unionByName(dat.select(F.col("p").alias("uri")))
         .distinct()
     )
-    w = Window.orderBy("uri")
-    return uris.select((F.row_number().over(w) - 1).cast("long").alias("id"), "uri")
+    return dense_ids(uris, "uri")
 
 
 def build_literal_dictionary(dat: DataFrame) -> DataFrame:
     """A7 + A3: literal dictionary with the Java-hashCode 4-char-prefix
     bucket key (PostgresKB.storeLiteralValues:1137-1149; hash applied to
-    the lowercased literal per RDFTripleParser.java:295)."""
-    w = Window.orderBy("literal")
-    return (
-        dat.select("literal")
-        .distinct()
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("id"),
-            "literal",
-            literal_prefix_hash("literal").alias("prefix"),
-        )
+    the lowercased literal per RDFTripleParser.java:295); ids via
+    scale-safe two-phase numbering (see :func:`dense_ids`)."""
+    return dense_ids(dat.select("literal").distinct(), "literal").select(
+        "id", "literal", literal_prefix_hash("literal").alias("prefix")
     )
 
 

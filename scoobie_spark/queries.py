@@ -29,13 +29,13 @@ _T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet") 
 # --------------------------------------------------------------------------
 
 def q_a6_dict_build(spark: SparkSession, sf: str) -> DataFrame:
-    """A6: distinct + row_number dictionary build (PostgresKB.java:1079-1127)."""
+    """A6: distinct + two-phase-numbered dictionary build
+    (PostgresKB.java:1079-1127) — exercises etl.dense_ids, the
+    scale-safe id assignment with no single-partition exchange."""
+    from .kb.etl import dense_ids
+
     part = _T(spark, sf, "part")
-    w = Window.orderBy("p_type")
-    return (
-        part.select("p_type").distinct()
-        .select((F.row_number().over(w) - 1).cast("long").alias("id"), "p_type")
-    )
+    return dense_ids(part.select("p_type").distinct(), "p_type")
 
 
 SQL_A6 = """
