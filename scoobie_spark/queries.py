@@ -895,6 +895,56 @@ def q_micro_pipeline_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_micro_pipeline(resolver: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        from .fixtures import micro_docs, micro_kb
+        from .pipeline import PipelineConfig, extract_triples
+
+        return extract_triples(
+            spark,
+            micro_docs(spark),
+            micro_kb(spark),
+            PipelineConfig(materialize_kb=False, resolver=resolver),
+        )
+
+    q.__doc__ = (
+        f"Flagship on the micro fixture with the {resolver} resolver (B20; "
+        "HitsBasedResolver.java:55-66 / Hits2BasedResolver.java:54-65 / "
+        "RandomResolver.java — random is the deterministic non-parity flag)."
+    )
+    return q
+
+
+q_micro_pipeline_hits = _q_micro_pipeline("hits")
+q_micro_pipeline_hits2 = _q_micro_pipeline("hits2")
+q_micro_pipeline_random = _q_micro_pipeline("random")
+
+
+def q_micro_pipeline_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """B20 classification resolver over the synthetic corpus
+    (ClassificationBasedResolver.java:44-105): staged spot → link, then
+    drop ambiguous candidates whose B14-predicted type cluster
+    contradicts their known (majority-vote) cluster. Rows-only: the
+    trained maxent is not SQL-expressible."""
+    from . import textproc
+    from .classify import train_entity_classifier, training_pairs
+    from .fixtures import synth_corpus, synth_kb
+    from .kb.stats import type_clusters
+    from .linking import disambiguate_classification, resolve_instances
+    from .spotting import spot
+
+    kb = synth_kb(spark, n_instances=100)
+    corpus = synth_corpus(spark, docs=_T(spark, sf, "documents"), n_instances=100)
+    docs = textproc.with_doc_id(corpus)
+    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    mentions = spot(textproc.suffix_candidates(docs, kb_prefixes), kb.gazetteer())
+    cand = resolve_instances(mentions, kb)
+    clusters = type_clusters(kb, sample_per_type=None)
+    model = train_entity_classifier(training_pairs(kb, clusters), epochs=400)
+    resolved = disambiguate_classification(cand, kb, model, clusters, margin=0.0)
+    return resolved.groupBy("subject").agg(F.count("*").alias("n_mentions"))
+
+
 def q_micro_rdfa(spark: SparkSession, sf: str) -> DataFrame:
     """B26: RDFa serialization of resolved spans on the micro fixture."""
     from . import serialize, textproc
@@ -976,6 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "micro_pipeline_pagerank": q_micro_pipeline_pagerank,
+        "micro_pipeline_hits": q_micro_pipeline_hits,
+        "micro_pipeline_hits2": q_micro_pipeline_hits2,
+        "micro_pipeline_random": q_micro_pipeline_random,
+        "micro_pipeline_classification": q_micro_pipeline_classification,
         "micro_rdfa": q_micro_rdfa,
         "flagship_triples": q_flagship_triples,
     }

@@ -57,7 +57,7 @@ def test_resolver_variants_agree_on_micro(spark):
     resolution identical (no ambiguous components there)."""
     docs, kb = micro_docs(spark), micro_kb(spark)
     base = None
-    for r in ("degree", "flow", "pagerank", "hub", "authority"):
+    for r in ("degree", "flow", "pagerank", "hub", "authority", "hits", "hits2", "random"):
         got = {
             (x["graph"], x["subj"], x["pred"], x["obj"])
             for x in extract_triples(spark, docs, kb, PipelineConfig(resolver=r)).collect()
