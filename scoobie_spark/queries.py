@@ -649,6 +649,68 @@ GROUP BY phrase
 """
 
 
+def q_b23_relevance_fused(spark: SparkSession, sf: str) -> DataFrame:
+    """B23 fusion protocol (RelevanceRating.fuseRatings:844-867 +
+    DoubleMatrix.normalize): two metrics (position mass, term frequency)
+    min-max normalized per document, fused by product, averaged per
+    phrase — the SQL-expressible core of the fusion sweep
+    (RelevanceRatingExperiment.java:168-204)."""
+    d = _T(spark, sf, "documents")
+    phrases = spark.createDataFrame([(p,) for p in GAZETTEER_PHRASES], "phrase string")
+    hits = (
+        d.crossJoin(F.broadcast(phrases))
+        .withColumn("pos", F.instr(F.col("text"), F.col("phrase")))
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            "phrase",
+            (F.length("text") - F.col("pos")).cast("double").alias("position"),
+            (F.length("phrase") / F.length("text")).alias("tf"),
+        )
+    )
+    w = Window.partitionBy("doc_id")
+    fused = hits
+    for m in ("position", "tf"):
+        rng = F.max(m).over(w) - F.min(m).over(w)
+        fused = fused.withColumn(
+            m,
+            F.when(rng > 0, (F.col(m) - F.min(m).over(w)) / rng).otherwise(F.lit(1.0)),
+        )
+    return (
+        fused.withColumn("score", F.col("position") * F.col("tf"))
+        .groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("fused"),
+        )
+    )
+
+
+SQL_B23_FUSED = """
+WITH hits AS (
+  SELECT d.doc_id, w.phrase,
+         (length(d.text) - strpos(d.text, w.phrase)) * 1.0 AS position,
+         length(w.phrase) * 1.0 / length(d.text) AS tf
+  FROM documents d
+  JOIN (VALUES ('table scan'), ('hash join'), ('sort merge'), ('window'), ('shuffle')) w(phrase)
+    ON strpos(d.text, w.phrase) > 0
+), norm AS (
+  SELECT doc_id, phrase,
+         CASE WHEN max(position) OVER (PARTITION BY doc_id) > min(position) OVER (PARTITION BY doc_id)
+              THEN (position - min(position) OVER (PARTITION BY doc_id))
+                   / (max(position) OVER (PARTITION BY doc_id) - min(position) OVER (PARTITION BY doc_id))
+              ELSE 1.0 END AS position_n,
+         CASE WHEN max(tf) OVER (PARTITION BY doc_id) > min(tf) OVER (PARTITION BY doc_id)
+              THEN (tf - min(tf) OVER (PARTITION BY doc_id))
+                   / (max(tf) OVER (PARTITION BY doc_id) - min(tf) OVER (PARTITION BY doc_id))
+              ELSE 1.0 END AS tf_n
+  FROM hits
+)
+SELECT phrase, count(*) AS n_docs, round(avg(position_n * tf_n), 6) AS fused
+FROM norm GROUP BY phrase
+"""
+
+
 def q_b24_recommend_topk(spark: SparkSession, sf: str) -> DataFrame:
     """B24 top-k fact recommendation shape: k-best markov transitions
     per source type (PostgresKB.getMaxMarkovProbability:1343-1383)."""
@@ -1007,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_regex_counts": q_b13_regex_counts,
         "b20_degree_rank": q_b20_degree_rank,
         "b23_relevance_idf": q_b23_relevance_idf,
+        "b23_relevance_fused": q_b23_relevance_fused,
         "b24_recommend_topk": q_b24_recommend_topk,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -1059,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "b13_regex_counts": SQL_B13,
         "b20_degree_rank": SQL_B20,
         "b23_relevance_idf": SQL_B23,
+        "b23_relevance_fused": SQL_B23_FUSED,
         "b24_recommend_topk": SQL_B24,
         "lang_id": SQL_LANG_ID,
         "dedup_exact": SQL_DEDUP_EXACT,
