@@ -27,67 +27,95 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris Large-Star over canonical (u > v) edges: per node u with
+    symmetric neighborhood Γ(u), m = min(Γ(u) ∪ {u}); emit (v, m) for
+    every neighbor v > u. Output stays canonical (m < u < v)."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris Small-Star over canonical (u > v) edges: per node u with
+    smaller-neighbor set N(u), m = min(N(u)); emit (u, m) and (v, m)
+    for v ∈ N(u) \\ {m}."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    own = mins.select("u", F.col("m").alias("v"))
+    moved = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return own.unionByName(moved).distinct()
+
+
+def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count("*").alias("n"),
+        # decimal(38) accumulator: a sum of 64-bit hashes overflows long
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     """(src, dst) → (node, component) with component = min node id.
 
-    Implementation: iterate ``label[n] = min(label over n ∪ neighbors)``
-    to a fixpoint, propagating through the current labels (label-join
-    variant of star contraction; each round = one join + one aggregate,
-    localCheckpoint to cut lineage). Converges in O(diameter) rounds on
-    the label graph, which star-steps shrink rapidly; max_iter bounds
-    pathological chains.
+    Real alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC'14, Algorithms 2-3):
+    every round is two grouped-min self-joins, each O(|E|) shuffled
+    n-way parallel work, and the edge set converges to per-component
+    stars centered at the minimum node in O(log² n) rounds — a 100-hop
+    chain closes in a handful of rounds, unlike plain min-label
+    propagation (O(diameter)). Lineage is cut per round; convergence is
+    detected by an (edge count, hash sum) fingerprint, and running out
+    of ``max_iter`` RAISES rather than silently returning partial
+    components.
     """
-    sym = _symmetrize(edges)
-    labels = (
-        sym.select(F.col("src").alias("node"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    fp = _edge_fingerprint(e)
     for _ in range(max_iter):
-        # candidate labels: own + every neighbor's current label
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "component")
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_fp = _edge_fingerprint(e)
+        if new_fp == fp:
             break
-    # one more contraction: label → label's label (pointer jump) until stable
-    for _ in range(max_iter):
-        jumped = (
-            labels.alias("a")
-            .join(
-                labels.select(
-                    F.col("node").alias("component"), F.col("component").alias("root")
-                ),
-                "component",
-            )
-            .select("node", F.col("root").alias("component"))
-            .localCheckpoint()
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({fp[0]} edges remain) — raise max_iter"
         )
-        moved = (
-            jumped.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if moved == 0:
-            break
-    return labels
+    # converged: stars (u → center v); centers and isolated nodes map to self
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(stars, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -21,11 +21,28 @@ def test_connected_components(spark, edges):
 
 
 def test_connected_components_long_chain(spark):
-    # chain of 40 nodes exercises the pointer-jumping rounds
-    e = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    """100-hop path: the star-contraction rounds must close it exactly
+    (plain min-label propagation would need 100 rounds and silently
+    return wrong components at max_iter=20 — the round-1 bug)."""
+    e = spark.createDataFrame([(i, i + 1) for i in range(100)], "src long, dst long")
     cc = graph.connected_components(e)
-    assert cc.select("component").distinct().count() == 1
-    assert cc.count() == 41
+    rows = {(r["node"], r["component"]) for r in cc.collect()}
+    assert rows == {(i, 0) for i in range(101)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(50)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(e, max_iter=1)
+
+
+def test_connected_components_reversed_and_shuffled_edges(spark):
+    # direction and order must not matter; self-loops ignored
+    e = spark.createDataFrame(
+        [(7, 3), (3, 9), (9, 9), (2, 7), (50, 40)], "src long, dst long"
+    )
+    cc = {(r["node"], r["component"]) for r in graph.connected_components(e).collect()}
+    assert cc == {(2, 2), (3, 2), (7, 2), (9, 2), (40, 40), (50, 40)}
 
 
 def test_degrees(spark, edges):
