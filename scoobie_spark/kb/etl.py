@@ -67,8 +67,9 @@ def parse_ntriples(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
 # the chars that make `new java.net.URI(uri)` throw, one at a time; a
 # static char map is the vectorizable equivalent)
 _BAD_URI_CHARS = [
-    (" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"), ("\\", "%5C"),
-    ("^", "%5E"), ("`", "%60"), ("{", "%7B"), ("|", "%7C"), ("}", "%7D"),
+    (" ", "%20"), ('"', "%22"), ("<", "%3C"), (">", "%3E"), ("[", "%5B"),
+    ("\\", "%5C"), ("]", "%5D"), ("^", "%5E"), ("`", "%60"), ("{", "%7B"),
+    ("|", "%7C"), ("}", "%7D"),
 ]
 
 
@@ -85,17 +86,22 @@ def cleanse_triples(obj: DataFrame, dat: DataFrame) -> tuple[DataFrame, DataFram
     """A2: drop over-long URIs, percent-encode URI-invalid chars,
     trim/length-filter literals.
 
-    Reference RDFTripleParser.java:205-244: URIs > 120 chars dropped;
-    bad URI chars URL-encoded (fixJavaURI :256-273); literals stripped
-    of [\\n\\t\\"] and kept only when the trimmed length is in [2, 100].
+    Reference RDFTripleParser.java:205-244: URIs > 120 chars dropped —
+    the length check runs on the RAW URI, BEFORE percent-encoding (a
+    115-char URI with 3 spaces passes there, then encodes to 121 chars);
+    bad URI chars URL-encoded after (fixJavaURI :256-273); literals
+    stripped of [\\n\\t\\"] and kept only when the trimmed length is in
+    [2, 100].
     """
     uri_ok = lambda c: (F.length(c) > 0) & (F.length(c) <= MAX_URI_LEN)  # noqa: E731
-    obj = obj.select(*[fix_uri(F.col(c)).alias(c) for c in ("s", "p", "o")])
-    dat = dat.select(fix_uri(F.col("s")).alias("s"), fix_uri(F.col("p")).alias("p"), "literal")
-    obj_c = obj.filter(uri_ok(F.col("s")) & uri_ok(F.col("p")) & uri_ok(F.col("o")))
+    obj_c = (
+        obj.filter(uri_ok(F.col("s")) & uri_ok(F.col("p")) & uri_ok(F.col("o")))
+        .select(*[fix_uri(F.col(c)).alias(c) for c in ("s", "p", "o")])
+    )
     lit = F.trim(F.regexp_replace(F.col("literal"), '[\\n\\t"\\\\]', ""))
     dat_c = (
         dat.filter(uri_ok(F.col("s")) & uri_ok(F.col("p")))
+        .select(fix_uri(F.col("s")).alias("s"), fix_uri(F.col("p")).alias("p"), "literal")
         .withColumn("literal", lit)
         .filter(F.length("literal").between(MIN_LITERAL_LEN, MAX_LITERAL_LEN))
     )

@@ -400,17 +400,20 @@ def _filter_resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame
     return _resolve_doc(cand, edges)
 
 
-def _make_filter_resolve_adj(adj: dict):
+def _make_filter_resolve_adj(adj_or_bc):
     """Batch fn for the broadcast-adjacency fused stage: like
     :func:`_filter_resolve_doc` but synthesizes each document's
     expansion-edge arrays from the broadcast per-subject adjacency
-    instead of receiving shuffled edge rows. ``adj`` maps
-    subject → tuple of (src, dst, dir) with dir ∈ {'f','b'}."""
+    instead of receiving shuffled edge rows. ``adj_or_bc`` is the
+    {subject: ((src, dst, dir), ...)} map, either plain or wrapped in a
+    ``sc.broadcast`` handle (preferred: the torrent-distributed blob
+    ships once per executor instead of riding every task's closure)."""
     import numpy as np
 
     from .spotting import _filter_batch
 
     def fn(cand: pd.DataFrame) -> pd.DataFrame:
+        adj = adj_or_bc.value if hasattr(adj_or_bc, "value") else adj_or_bc
         if not len(cand):
             return cand.iloc[0:0].drop(
                 columns=["__resolver", "tile_ok"], errors="ignore"
@@ -454,24 +457,33 @@ def _make_filter_resolve_adj(adj: dict):
     return fn
 
 
-def kb_adjacency(kb: KB, max_rows: int | None = 5_000_000) -> dict | None:
+def kb_adjacency(
+    kb: KB, max_rows: int | None = 500_000, max_bytes: int = 64 << 20
+) -> dict | None:
     """Collect the non-rdf:type relation rows as a per-subject adjacency
     map {subject: ((src, dst, dir), ...)} with one entry under EACH
     endpoint (dir='f' under the subject side, 'b' under the object
     side) — the broadcast twin of :func:`expansion_edges`.
 
-    Returns None when the KB graph exceeds ``max_rows`` (broadcasting a
-    multi-GB adjacency would be worse than the shuffle; the caller falls
-    back to the edge-join path). At DBpedia's ~10^8 relations the
-    fallback triggers; for bounded domain KBs the broadcast path removes
-    the largest shuffle of the pipeline (edges × documents)."""
+    Returns None when the KB graph exceeds ``max_rows`` OR the
+    estimated in-memory size exceeds ``max_bytes`` (~64MB, the same
+    order as autoBroadcastJoinThreshold — broadcasting a multi-GB
+    Python adjacency would cost cores × GBs of worker RSS). The caller
+    falls back to the edge-join path; at DBpedia's ~10^8 relations the
+    fallback always triggers, while bounded domain KBs get the
+    shuffle-free path. The edge list arrives via ONE Arrow ``toPandas``
+    transfer (not a row-at-a-time ``toLocalIterator``)."""
     type_id = kb.rdf_type_id
     rel = kb.relations if type_id is None else kb.relations.filter(F.col("p") != type_id)
     if max_rows is not None and rel.limit(max_rows + 1).count() > max_rows:
         return None
+    pdf = rel.select("s", "o").distinct().toPandas()
+    # ~130 B per directed entry (3-int tuple inside a list under a dict
+    # slot); each edge creates two entries
+    if len(pdf) * 2 * 130 > max_bytes:
+        return None
     adj: dict[int, list] = {}
-    for r in rel.select("s", "o").distinct().toLocalIterator():
-        s, o = r["s"], r["o"]
+    for s, o in zip(pdf["s"].tolist(), pdf["o"].tolist()):
         adj.setdefault(s, []).append((s, o, "f"))
         adj.setdefault(o, []).append((s, o, "b"))
     return {k: tuple(v) for k, v in adj.items()}
@@ -519,14 +531,20 @@ def spot_resolve(
     ]
     if adjacency is not None:
         # broadcast-adjacency form: the KB expansion edges never touch a
-        # shuffle — each doc's edge set is rebuilt from the (closure-
-        # broadcast) adjacency inside the Arrow pass
+        # shuffle — each doc's edge set is rebuilt inside the Arrow pass
+        # from the sc.broadcast adjacency (one torrent transfer per
+        # executor, unpickled once per worker process)
         from .grouped import grouped_apply
 
+        bc = (
+            adjacency
+            if hasattr(adjacency, "value")
+            else candidates_raw.sparkSession.sparkContext.broadcast(adjacency)
+        )
         return grouped_apply(
             tagged,
             "doc_id",
-            _make_filter_resolve_adj(adjacency),
+            _make_filter_resolve_adj(bc),
             CANDIDATES_SCHEMA,
             batch_mode=True,
             sort_cols=span_sort,

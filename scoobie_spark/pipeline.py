@@ -49,8 +49,9 @@ class PipelineConfig:
     # broadcast the KB relation graph as a per-subject adjacency when it
     # has at most this many non-type edges — the expansion edges then
     # never shuffle (rebuilt per doc inside the Arrow pass). Above the
-    # cap (DBpedia-sized KBs) the edge-join path runs instead. 0 = off.
-    adjacency_max_rows: int = 5_000_000
+    # cap (or above linking.kb_adjacency's ~64MB byte estimate) the
+    # edge-join path runs instead. 0 = off.
+    adjacency_max_rows: int = 500_000
     # north_rule URI canonicalization (min-hash union-find over labels):
     # rewrite emitted subject URIs through the canonical map. Off by
     # default — it intentionally changes the triple set vs the reference.
@@ -72,6 +73,10 @@ class PipelineConfig:
     # plans would otherwise be re-embedded by every stage; a KB made of
     # local/in-memory relations can skip it)
     materialize_kb: bool = True
+    # per-partition row counts in metrics.jsonl (skew audit). Off by
+    # default: the extra groupBy(spark_partition_id) re-scans each
+    # checkpointed stage's full output just for telemetry.
+    partition_lineage: bool = False
     metrics: list = field(default_factory=list)
 
 
@@ -104,28 +109,40 @@ def _stage(cfg: PipelineConfig, name: str, df: DataFrame, spark: SparkSession) -
     if not os.path.exists(marker):
         df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    # per-partition lineage: row count per physical partition of the
-    # checkpoint (skew telemetry + resumable audit, north_rule)
-    per_part = {
-        r["pid"]: r["count"]
-        for r in out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    }
-    n = sum(per_part.values())
-    sizes = sorted(per_part.values())
-    rec = {
-        "stage": name,
-        "rows": n,
-        "wall_sec": round(time.time() - t0, 3),
-        "n_partitions": len(per_part),
-        "partition_rows_min": sizes[0] if sizes else 0,
-        "partition_rows_max": sizes[-1] if sizes else 0,
-        "partition_skew": round(sizes[-1] * len(sizes) / max(n, 1), 3) if sizes else 0.0,
-    }
+    rec = {"stage": name, "wall_sec": round(time.time() - t0, 3)}
+    if cfg.partition_lineage:
+        # per-partition lineage: row count per physical partition of the
+        # checkpoint (skew telemetry + resumable audit, north_rule).
+        # Opt-in: this is one extra full scan of the stage output.
+        per_part = {
+            r["pid"]: r["count"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        }
+        n = sum(per_part.values())
+        sizes = sorted(per_part.values())
+        rec.update(
+            rows=n,
+            n_partitions=len(per_part),
+            partition_rows_min=sizes[0] if sizes else 0,
+            partition_rows_max=sizes[-1] if sizes else 0,
+            partition_skew=round(sizes[-1] * len(sizes) / max(n, 1), 3)
+            if sizes
+            else 0.0,
+        )
     cfg.metrics.append(rec)
     with open(os.path.join(cfg.checkpoint_dir, "metrics.jsonl"), "a") as fh:
         fh.write(json.dumps(rec) + "\n")
-        fh.write(json.dumps({"stage": name, "partition_rows": per_part}) + "\n")
+        if cfg.partition_lineage:
+            fh.write(json.dumps({"stage": name, "partition_rows": per_part}) + "\n")
     return out
+
+
+def _stage_done(cfg: PipelineConfig, name: str) -> bool:
+    """True when the stage already has a durable checkpoint — eager
+    driver-side work feeding only that stage can then be skipped."""
+    return bool(cfg.checkpoint_dir) and os.path.exists(
+        os.path.join(cfg.checkpoint_dir, name, "_SUCCESS")
+    )
 
 
 def check_sha256(docs: DataFrame) -> DataFrame:
@@ -189,10 +206,12 @@ def extract_triples(
     # --- B8-B21: spotting + linking + disambiguation ------------------
     if cfg.fused:
         # ONE doc_id shuffle + ONE Arrow pass for span filters +
-        # disambiguation (gazetteer/symbols joins stay narrow upstream)
+        # disambiguation (gazetteer/symbols joins stay narrow upstream).
+        # The adjacency build is eager driver work — skip it when the
+        # resolved checkpoint already exists and will be reused.
         adjacency = (
             linking.kb_adjacency(kb, cfg.adjacency_max_rows)
-            if cfg.adjacency_max_rows
+            if cfg.adjacency_max_rows and not _stage_done(cfg, "resolved")
             else None
         )
         resolved = _stage(

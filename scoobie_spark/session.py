@@ -14,6 +14,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir(min_free_bytes: int = 16 << 30) -> str:
+    """/dev/shm when it exists with ≥16 GiB free, else /tmp."""
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= min_free_bytes:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "scoobie_spark",
     cores: int | None = None,
@@ -46,14 +57,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # shuffle/spill to tmpfs when available: the single-box analogue
         # of cluster executors' local NVMe — keeps shuffle I/O off the
-        # one shared system disk (set SPARK_LOCAL_DIRS to override)
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_LOCAL_DIRS",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
-        )
+        # one shared system disk. Guarded: tmpfs shuffle consumes RAM,
+        # so a spill bigger than the free tmpfs would ENOSPC a job that
+        # plain disk would finish — only use /dev/shm when it has
+        # comfortable headroom (≥16 GiB free), and always honor
+        # SPARK_LOCAL_DIRS as the explicit override either way.
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _default_local_dir()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deep multi-stage plans re-embed lineage at every reuse; don't let

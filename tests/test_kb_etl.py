@@ -131,3 +131,24 @@ def test_fix_uri_percent_encoding(spark):
         ("http://a/with%20space", "http://p", "http://b%7Bx%7D"),
         ("http://clean", "http://p", "http://also%7Cbad"),
     }
+
+
+def test_uri_length_checked_on_raw_before_encoding(spark):
+    """RDFTripleParser.java:205-240 parity: the 120-char limit applies
+    to the RAW URI; a URI near the limit that percent-encodes past it
+    is still kept (and '[' ']' are in the bad-char map)."""
+    from scoobie_spark.kb.etl import MAX_URI_LEN, cleanse_triples
+
+    near = "http://x/" + "a" * (MAX_URI_LEN - 9 - 4) + " b c"   # raw 120
+    over = "http://x/" + "a" * (MAX_URI_LEN - 8)                # raw 121
+    assert len(near) == MAX_URI_LEN and len(over) == MAX_URI_LEN + 1
+    obj = spark.createDataFrame(
+        [(near, "http://p", "http://o[1]"), (over, "http://p", "http://o")],
+        "s string, p string, o string",
+    )
+    dat = spark.createDataFrame([], "s string, p string, literal string")
+    obj_c, _ = cleanse_triples(obj, dat)
+    rows = {tuple(r) for r in obj_c.collect()}
+    assert rows == {
+        (near.replace(" ", "%20"), "http://p", "http://o%5B1%5D"),
+    }
