@@ -226,7 +226,20 @@ def build_kb_from_string_triples(
     )
 
 
-def build_kb_from_dumps(spark: SparkSession, path: str) -> KB:
-    """A1-A10 end to end from N-Triples dumps."""
-    obj, dat = parse_ntriples(spark, path)
+def build_kb_from_dumps(
+    spark: SparkSession, path: str, fmt: str = "ntriples", zipped: bool = False
+) -> KB:
+    """A1-A10 end to end from RDF dumps. ``fmt`` ∈ {ntriples, turtle,
+    rdfxml} (RDFTripleParser.java:84-99 media-type switch; gz/bz2 are
+    transparent, ``zipped=True`` expands zip containers)."""
+    if fmt == "ntriples":
+        obj, dat = parse_ntriples(spark, path)
+    else:
+        from .rdfio import parse_rdf_files, parse_rdf_zip
+
+        obj, dat = (
+            parse_rdf_zip(spark, path, fmt)
+            if zipped
+            else parse_rdf_files(spark, path, fmt)
+        )
     return build_kb_from_string_triples(spark, obj, dat)
