@@ -41,20 +41,63 @@ N_BUCKETS = 1 << 12  # hashed feature space (char n-grams)
 _NGRAM_NS = (2, 3)
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _featurize_row(s: str, out_row: np.ndarray, n_buckets: int) -> None:
+    """Scalar fallback (non-ASCII rows): FNV-1a over each char-ngram's
+    utf-8 bytes — the original per-char recurrence."""
+    for n in _NGRAM_NS:
+        for i in range(len(s) - n + 1):
+            h = 0xCBF29CE484222325
+            for ch in s[i : i + n].encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out_row[h % n_buckets] += 1.0
+
+
 def _featurize(texts: list[str], n_buckets: int = N_BUCKETS) -> np.ndarray:
-    """Hashed char-ngram bag (L2-normalized rows). Vectorized per batch;
-    the hash is FNV-1a over the ngram bytes (deterministic, seed-free —
-    python's hash() is salted per process and would break determinism
-    across executors)."""
+    """Hashed char-ngram bag (L2-normalized rows). The hash is FNV-1a
+    over the ngram bytes (deterministic, seed-free — python's hash() is
+    salted per process and would break determinism across executors).
+
+    Vectorized: ASCII rows (the overwhelming majority of entity labels)
+    are concatenated into one byte buffer; n-gram FNV runs as n xor/mul
+    passes in wrapping uint64, scattered into the bag with one
+    ``np.add.at``. For ASCII text, byte n-grams ≡ char n-grams, so the
+    result is bit-identical to the scalar recurrence; non-ASCII rows
+    take the scalar path."""
     out = np.zeros((len(texts), n_buckets), dtype=np.float32)
-    for r, t in enumerate(texts):
-        s = f"^{t.lower()}$"
+    if not texts:
+        return out
+    lowered = [f"^{t.lower()}$" for t in texts]
+    fast_rows, bufs, lens = [], [], []
+    for r, s in enumerate(lowered):
+        if s.isascii():
+            fast_rows.append(r)
+            bufs.append(s.encode("ascii"))
+            lens.append(len(s))
+        else:
+            _featurize_row(s, out[r], n_buckets)
+    if fast_rows:
+        buf = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+        lens_a = np.asarray(lens, dtype=np.int64)
+        ends = np.cumsum(lens_a)
+        starts = ends - lens_a
+        row_idx = np.asarray(fast_rows, dtype=np.int64)
         for n in _NGRAM_NS:
-            for i in range(len(s) - n + 1):
-                h = 0xCBF29CE484222325
-                for ch in s[i : i + n].encode("utf-8"):
-                    h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-                out[r, h % n_buckets] += 1.0
+            if len(buf) < n:
+                continue
+            # windows fully inside a row: start position p has p+n ≤ row end
+            ok = np.ones(len(buf) - n + 1, dtype=bool)
+            for b0 in ends[:-1]:
+                ok[max(b0 - n + 1, 0):b0] = False
+            h = np.full(len(buf) - n + 1, _FNV_OFFSET, dtype=np.uint64)
+            for j in range(n):
+                h = (h ^ buf[j : len(buf) - n + 1 + j]) * _FNV_PRIME  # wraps
+            bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+            win_row = np.searchsorted(ends, np.flatnonzero(ok), side="right")
+            np.add.at(out, (row_idx[win_row], bucket[ok]), 1.0)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out

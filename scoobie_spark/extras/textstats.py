@@ -97,31 +97,101 @@ def fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: rolling polynomial hash over
     normalized tokens, keep the min hash of every ``window`` positions →
-    (doc_id, fingerprint array<long>, fp_count). Arrow-batched."""
+    (doc_id, fingerprint array<long>, fp_count). Arrow-batched AND
+    numpy-vectorized: token hashes are one segmented byte-level
+    prefix-hash pass, doc rolling hashes one token-level pass
+    (:mod:`._polyhash`), window minima a strided sliding view — the only
+    per-row Python left is tokenize/encode (O(tokens), not O(chars))."""
+    import numpy as np
+
+    from ._polyhash import seg_prefix_hash, token_hashes
+
     cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
-    B, M = 1_000_003, (1 << 61) - 1
+
+    # docs containing non-ASCII whitespace take the per-doc tokenize
+    # path (python str.split splits on these; the byte tokenizer would
+    # not) — C-speed regex scan, rare hits
+    _UNICODE_WS = "[\\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ._polyhash import token_hashes_from_buffer
+
         for pdf in batches:
-            ids, fps, counts = [], [], []
-            for doc_id, t in zip(pdf["doc_id"].values, pdf["text"].values):
-                toks = t.lower().split()
-                hs = []
-                h = 0
-                for tok in toks:
-                    th = 0
-                    for ch in tok.encode("utf-8"):
-                        th = (th * B + ch) % M
-                    h = (h * B + th) % M
-                    hs.append(h)
-                mins = sorted(
-                    {min(hs[i : i + window]) for i in range(0, max(len(hs) - window + 1, 1))}
-                ) if hs else []
-                ids.append(doc_id)
-                fps.append(mins)
-                counts.append(len(mins))
+            if not len(pdf):
+                continue
+            texts = pdf["text"].str.lower()
+            slow = texts.str.contains(_UNICODE_WS, regex=True, na=False).to_numpy()
+
+            # ---- byte-level tokenization, zero per-token Python ------
+            enc = [t.encode("utf-8") if not s else b"" for t, s in zip(texts, slow)]
+            doc_lens = np.fromiter(map(len, enc), dtype=np.int64, count=len(enc))
+            buf = np.frombuffer(b"\n".join(enc) + b"\n", dtype=np.uint8)
+            doc_starts = np.cumsum(doc_lens + 1) - (doc_lens + 1)
+            ws = (
+                (buf == 32) | (buf == 9) | (buf == 10)
+                | (buf == 11) | (buf == 12) | (buf == 13)
+            )
+            nw = ~ws
+            tok_starts = np.flatnonzero(nw & np.concatenate(([True], ws[:-1])))
+            tok_ends = np.flatnonzero(nw & np.concatenate((ws[1:], [True]))) + 1
+            tok_lens = tok_ends - tok_starts
+            doc_of_tok = np.searchsorted(doc_starts, tok_starts, side="right") - 1
+            n_toks = np.bincount(doc_of_tok, minlength=len(pdf))
+            th = token_hashes_from_buffer(buf, tok_starts, tok_lens)
+            # per-doc tokenize for unicode-whitespace docs
+            for k in np.flatnonzero(slow):
+                toks = [t.encode("utf-8") for t in texts.iloc[k].split()]
+                n_toks[k] = len(toks)
+                ths = token_hashes(toks)
+                ins = np.searchsorted(doc_of_tok, k, side="left")
+                th = np.concatenate((th[:ins], ths, th[ins:]))
+                doc_of_tok = np.concatenate(
+                    (doc_of_tok[:ins], np.full(len(toks), k), doc_of_tok[ins:])
+                )
+            hs = seg_prefix_hash(th, n_toks).astype(np.int64)
+
+            n_docs = len(pdf)
+            ends = np.cumsum(n_toks)
+            starts = ends - n_toks
+            fps: list = [[]] * n_docs
+            counts = np.zeros(n_docs, dtype=np.int32)
+
+            # short docs (1 ≤ len ≤ window): one min over the whole doc
+            short = np.flatnonzero((n_toks > 0) & (n_toks <= window))
+            if len(short):
+                # reduceat over (start, end) pairs; even slots = doc mins
+                idx = np.empty(2 * len(short), dtype=np.int64)
+                idx[0::2] = starts[short]
+                idx[1::2] = ends[short]
+                if idx[-1] == len(hs):
+                    idx = idx[:-1]
+                smins = np.minimum.reduceat(hs, idx)[0::2]
+                for i, k in enumerate(short):
+                    fps[k] = [int(smins[i])]
+                counts[short] = 1
+
+            # long docs: global sliding-window minima, one lexsort dedupe
+            long_ = np.flatnonzero(n_toks > window)
+            if len(long_):
+                sw = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                cnt = n_toks[long_] - window + 1       # windows per long doc
+                total = int(cnt.sum())
+                first = np.repeat(starts[long_], cnt)
+                off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                vals = sw[first + off]
+                doc_of = np.repeat(long_, cnt)
+                order = np.lexsort((vals, doc_of))
+                dv, dd = vals[order], doc_of[order]
+                keep = np.ones(total, dtype=bool)
+                keep[1:] = (dd[1:] != dd[:-1]) | (dv[1:] != dv[:-1])
+                dv, dd = dv[keep], dd[keep]
+                ucnt = np.bincount(dd, minlength=n_docs)[long_]
+                for arr, k in zip(np.split(dv, np.cumsum(ucnt)[:-1]), long_):
+                    fps[k] = arr.tolist()
+                counts[long_] = ucnt.astype(np.int32)
+
             yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
+                {"doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
                  "fingerprint": pd.Series(fps, dtype="object"),
                  "fp_count": pd.Series(counts, dtype="int32")}
             )

@@ -143,3 +143,39 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(media, every_ms=500)
     rows = plan.groupBy("media_id").count().collect()
     assert rows and all(r["count"] >= 1 for r in rows)
+
+
+def test_fingerprints_match_scalar_oracle(spark):
+    """The vectorized polyhash path must be bit-identical to the
+    original per-character scalar recurrence (incl. unicode + empties)."""
+    B, M = 1_000_003, (1 << 61) - 1
+
+    def oracle(t, window=8):
+        toks = t.lower().split()
+        hs = []
+        h = 0
+        for tok in toks:
+            th = 0
+            for ch in tok.encode("utf-8"):
+                th = (th * B + ch) % M
+            h = (h * B + th) % M
+            hs.append(h)
+        return sorted(
+            {min(hs[i:i + window]) for i in range(0, max(len(hs) - window + 1, 1))}
+        ) if hs else []
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog again and again and again",
+        "Überraschung: naïve café-goers résumé — größer straße",
+        "one",
+        "",
+        "   ",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4,
+        "Ωμέγα σύμβολα καὶ ἑλληνικά κείμενα μὲ τόνους",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == oracle(t), f"doc {i}"
