@@ -58,6 +58,62 @@ class FilterContext:
             return relations.filter(F.col("p").isin(*self.object_properties))
         return relations
 
+    def infer(
+        self,
+        markov_chain: DataFrame,
+        type_clusters: DataFrame,
+        proper_noun: DataFrame,
+        markov_probability: float = 0.0,
+        rating: float = 0.0,
+    ) -> "FilterContext":
+        """``FilterContext.infer`` parity (FilterContext.java:248-284):
+        expand the compiled template filters through the KB statistics —
+
+        1. each object property pulls the type clusters it connects from
+           the markov chain (domain/range resolution,
+           ``getConnectingClusters``: markov rows with probability >
+           threshold, PostgresKB.java:777-804);
+        2. each type is substituted by its cluster label, and every
+           datatype property whose proper-noun rating for that cluster
+           exceeds ``rating`` joins the datatype filter
+           (``getDatatypePropertyByClass``, PostgresKB.java:745-772) —
+           so a template naming only ``?s ex:livesIn ?o`` learns that
+           e.g. ``rdfs:label`` literals spot its domain/range instances.
+
+        All three stats tables are KB-statistics-scale (clusters ×
+        properties), so the collects here are dictionary-side, not
+        corpus-side. Mutates and returns self.
+        """
+        if self.object_properties:
+            rows = (
+                markov_chain.filter(
+                    F.col("p").isin(*self.object_properties)
+                    & (F.col("probability") > markov_probability)
+                )
+                .select("s_cluster", "o_cluster")
+                .collect()
+            )
+            for r in rows:
+                self.types.add(r["s_cluster"])
+                self.types.add(r["o_cluster"])
+        if self.types:
+            cl = {r["type"]: r["cluster"] for r in type_clusters.collect()}
+            self.types = {cl.get(t, t) for t in self.types}
+            props = (
+                proper_noun.filter(
+                    F.col("cluster").isin(*self.types) & (F.col("rating") > rating)
+                )
+                .select("property")
+                .distinct()
+                .collect()
+            )
+            inferred = {r["property"] for r in props}
+            if inferred:
+                self.datatype_properties = (
+                    self.datatype_properties - {-1}
+                ) | inferred
+        return self
+
 
 def _expand(term: str, prefixes: dict[str, str]) -> str | None:
     term = term.strip()

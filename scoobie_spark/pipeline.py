@@ -59,6 +59,13 @@ class PipelineConfig:
     salt_partitions: int | None = None  # docs repartition width
     markov_chain: DataFrame | None = None
     type_clusters: DataFrame | None = None
+    # FilterContext.infer (FilterContext.java:248-284): expand template
+    # filters via markov domain/range + proper-noun ratings. Needs
+    # markov_chain + type_clusters + proper_noun stats.
+    template_infer: bool = False
+    proper_noun: DataFrame | None = None
+    infer_markov_probability: float = 0.0
+    infer_rating: float = 0.0
     # stages that get a lineage cut / durable checkpoint. Only stages
     # consumed by MULTIPLE downstream operators need one; single-consumer
     # stages fuse into their consumer's job (fewer job barriers = less
@@ -195,6 +202,19 @@ def extract_triples(
         from .filters import compile_template
 
         ctx = compile_template(cfg.template, kb)
+        if (
+            cfg.template_infer
+            and cfg.markov_chain is not None
+            and cfg.type_clusters is not None
+            and cfg.proper_noun is not None
+        ):
+            ctx.infer(
+                cfg.markov_chain,
+                cfg.type_clusters,
+                cfg.proper_noun,
+                cfg.infer_markov_probability,
+                cfg.infer_rating,
+            )
         gazetteer = ctx.filter_gazetteer(gazetteer)
         if ctx.types:
             # template type filter (FilterContext.getTypeIndexFilter): keep

@@ -192,3 +192,66 @@ def test_streaming_dedup_first(spark, tmp_path):
     shas = [r["sha256"] for r in got]
     n_unique = docs.select("sha256").distinct().count()
     assert len(shas) == len(set(shas)) == n_unique
+
+
+def test_template_infer_expands_filters(spark):
+    """FilterContext.infer parity (FilterContext.java:248-284,
+    QueryExperiment.java:216-302): a template naming ONLY an object
+    property spots nothing literally (no datatype property compiled),
+    but after infer() the markov chain resolves livesIn's domain/range
+    clusters and the proper-noun ratings add rdfs:label — so the same
+    template now drives a real extraction."""
+    from scoobie_spark.fixtures import synth_corpus, synth_kb
+    from scoobie_spark.kb.stats import markov_chain, proper_noun_rating, type_clusters
+
+    kb = synth_kb(spark, n_instances=60)
+    clusters = type_clusters(kb, sample_per_type=None)
+    mc = markov_chain(kb, clusters)
+    pn = proper_noun_rating(kb, clusters)
+    docs = synth_corpus(spark, n_docs=30, n_instances=60)
+    t = f"""
+    PREFIX ex: <{EX_ONT}>
+    SELECT * WHERE {{ GRAPH <http://x#recognized> {{ ?s ex:livesIn ?o . }} }}
+    """
+
+    literal = extract_triples(spark, docs, kb, PipelineConfig(template=t))
+    assert literal.filter(F.col("graph") == "recognized").count() == 0
+
+    inferred = extract_triples(
+        spark,
+        docs,
+        kb,
+        PipelineConfig(
+            template=t,
+            template_infer=True,
+            markov_chain=mc,
+            type_clusters=clusters,
+            proper_noun=pn,
+        ),
+    )
+    n = inferred.filter(F.col("graph") == "recognized").count()
+    assert n > 0, "inferred rdfs:label property must enable spotting"
+
+
+def test_template_infer_type_substitution(spark):
+    """infer() substitutes literal template types with their cluster
+    labels (the getCluster step)."""
+    from scoobie_spark.filters import compile_template
+    from scoobie_spark.fixtures import synth_kb
+    from scoobie_spark.kb.stats import markov_chain, proper_noun_rating, type_clusters
+
+    kb = synth_kb(spark, n_instances=60)
+    clusters = type_clusters(kb, sample_per_type=None)
+    mc = markov_chain(kb, clusters)
+    pn = proper_noun_rating(kb, clusters)
+    t = f"""
+    PREFIX ex: <{EX_ONT}>
+    SELECT * WHERE {{ GRAPH <http://x#recognized> {{ ?s a ex:Person . }} }}
+    """
+    ctx = compile_template(t, kb)
+    before = set(ctx.types)
+    ctx.infer(mc, clusters, pn)
+    cl_map = {r["type"]: r["cluster"] for r in clusters.collect()}
+    assert ctx.types == {cl_map.get(x, x) for x in before}
+    # the cluster's high-rated labeling property joined the filter
+    assert ctx.datatype_properties
