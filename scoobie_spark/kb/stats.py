@@ -228,6 +228,36 @@ def proper_noun_rating(
     )
 
 
+def corpus_property_idf(docs: DataFrame, kb: KB) -> DataFrame:
+    """A15 corpus-IDF builder (``TextCorpus.getDocumentFrequency``,
+    TextCorpus.java:180-232): run the corpus through spotting (the
+    reference executes pipeline steps 1-7, stopping after
+    RDFLiteralSpotting) and count, per datatype property, the documents
+    in which it was retrieved; idf = N_docs / (df + 1) — the
+    reference's UN-logged ratio. Returns (p, idf) in exactly the shape
+    :func:`proper_noun_rating` joins on.
+
+    ``docs`` is a corpus in input_hint shape (``doc_id`` is derived if
+    absent); the spotting join is the same corpus-wide prefix join the
+    flagship uses — one pass, no per-doc queries."""
+    from .. import textproc
+    from ..spotting import spot
+
+    if "doc_id" not in docs.columns:
+        docs = textproc.with_doc_id(docs)
+    prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    mentions = spot(textproc.suffix_candidates(docs, prefixes), kb.gazetteer())
+    n_docs = docs.count()
+    return (
+        mentions.groupBy("prop_id")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            F.col("prop_id").alias("p"),
+            (F.lit(float(n_docs)) / (F.col("df") + 1)).alias("idf"),
+        )
+    )
+
+
 # --- A16: regex distribution (PostgresKB.java:1605-1631) ------------------
 
 DEFAULT_REGEXES = {

@@ -649,6 +649,36 @@ GROUP BY phrase
 """
 
 
+def q_a15_idf(spark: SparkSession, sf: str) -> DataFrame:
+    """A15 corpus-IDF formula parity (TextCorpus.getDocumentFrequency,
+    TextCorpus.java:211-230): per spotted phrase, idf = N_docs/(df+1) —
+    the reference's UN-logged ratio (contrast b23's log idf)."""
+    d = _T(spark, sf, "documents")
+    n_total = d.count()
+    phrases = spark.createDataFrame([(p,) for p in GAZETTEER_PHRASES], "phrase string")
+    hits = (
+        d.crossJoin(F.broadcast(phrases))
+        .filter(F.instr(F.col("text"), F.col("phrase")) > 0)
+    )
+    return hits.groupBy("phrase").agg(
+        F.count("*").alias("df"),
+        F.round(F.lit(float(n_total)) / (F.count("*") + 1), 6).alias("idf"),
+    )
+
+
+SQL_A15_IDF = """
+SELECT phrase, count(*) AS df,
+       round((SELECT count(*) FROM documents) * 1.0 / (count(*) + 1), 6) AS idf
+FROM (
+  SELECT d.doc_id, w.phrase
+  FROM documents d
+  JOIN (VALUES ('table scan'), ('hash join'), ('sort merge'), ('window'), ('shuffle')) w(phrase)
+    ON strpos(d.text, w.phrase) > 0
+)
+GROUP BY phrase
+"""
+
+
 def q_b23_relevance_fused(spark: SparkSession, sf: str) -> DataFrame:
     """B23 fusion protocol (RelevanceRating.fuseRatings:844-867 +
     DoubleMatrix.normalize): two metrics (position mass, term frequency)
@@ -1070,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_degree_rank": q_b20_degree_rank,
         "b23_relevance_idf": q_b23_relevance_idf,
         "b23_relevance_fused": q_b23_relevance_fused,
+        "a15_idf": q_a15_idf,
         "b24_recommend_topk": q_b24_recommend_topk,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
@@ -1123,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         "b20_degree_rank": SQL_B20,
         "b23_relevance_idf": SQL_B23,
         "b23_relevance_fused": SQL_B23_FUSED,
+        "a15_idf": SQL_A15_IDF,
         "b24_recommend_topk": SQL_B24,
         "lang_id": SQL_LANG_ID,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -86,3 +86,39 @@ def test_regex_distribution(spark):
     # the date property's literals all match DATE; name property matches nothing
     assert ("DATE", 1.0) in rows
     assert all(name != "DATE" or ratio == 1.0 for name, ratio in rows)
+
+
+def test_corpus_idf_feeds_proper_noun_rating(spark):
+    """A15 end-to-end: corpus run → per-property IDF
+    (TextCorpus.getDocumentFrequency) → proper_noun_rating(idf=...).
+    rdfs:label is spotted in every synth doc, so its df is high and its
+    idf low but > 1 (N/(df+1) with df < N); properties never spotted
+    keep the 1.0 fill."""
+    from scoobie_spark.fixtures import synth_corpus, synth_kb
+    from scoobie_spark.kb.stats import (
+        corpus_property_idf,
+        proper_noun_rating,
+        type_clusters,
+    )
+
+    kb = synth_kb(spark, n_instances=60)
+    docs = synth_corpus(spark, n_docs=40, n_instances=60)
+    idf = corpus_property_idf(docs, kb)
+    rows = {r["p"]: r["idf"] for r in idf.collect()}
+    assert rows, "label property must be spotted"
+    n_docs = 40
+    for p, v in rows.items():
+        assert 0 < v <= n_docs
+    clusters = type_clusters(kb, sample_per_type=None)
+    rated = proper_noun_rating(kb, clusters, idf=idf)
+    got = {(r["cluster"], r["property"]): r for r in rated.collect()}
+    assert got
+    # every rated property that was spotted carries the corpus idf
+    for (c, p), r in got.items():
+        if p in rows:
+            assert r["idf"] == pytest.approx(rows[p])
+            assert r["rating"] == pytest.approx(
+                r["coverage"] / r["ambiguity"] * r["idf"]
+            )
+        else:
+            assert r["idf"] == 1.0
