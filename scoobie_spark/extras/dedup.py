@@ -10,8 +10,9 @@ Five families, all shuffle-conscious:
                    exact Jaccard verify on candidates only
 * SimHash        — 64-bit fingerprint via numpy bit-votes (Arrow
                    batches), near-dup = equal 16-bit band + Hamming ≤ r
-* embedding      — cosine near-dup via random-hyperplane LSH buckets,
-                   exact cosine verify inside buckets
+* embedding      — cosine near-dup via multi-table random-hyperplane
+                   LSH (OR-amplification), exact cosine verify inside
+                   buckets
 
 Scale notes: every candidate-generation step is an equi-join on a
 bucket key (shingle id, LSH band, hyperplane signature) so the shuffle
@@ -155,7 +156,6 @@ def minhash_lsh_pairs(
 
     banded = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -175,15 +175,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    l = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "band", "bucket")
-    r = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "band", "bucket")
-    cand = (
-        l.join(r, ["band", "bucket"])
+    # candidate generation carries ONLY ids through the bucket join and
+    # its dedup shuffle; the two 32-long signatures rejoin afterwards
+    # (deduping (a,b,sig_a,sig_b) would shuffle 64 longs per candidate)
+    ids = banded.select("doc_id", "band", "bucket")
+    cand_ids = (
+        ids.select(F.col("doc_id").alias("a"), "band", "bucket")
+        .join(ids.select(F.col("doc_id").alias("b"), "band", "bucket"), ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .distinct()
+    )
+    cand = (
+        cand_ids.join(sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -283,36 +290,51 @@ def embedding_near_dupes(
     emb: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 12,
+    n_tables: int = 4,
     seed: int = 42,
     key: str = "vec_id",
     vec: str = "embedding",
 ) -> DataFrame:
-    """(a, b, cosine ≥ threshold) via random-hyperplane LSH: bucket =
-    sign-bit signature of n_planes seeded projections (numpy, Arrow
-    batches), exact cosine verify inside buckets only."""
+    """(a, b, cosine ≥ threshold) via random-hyperplane LSH with
+    OR-amplification: ``n_tables`` independent hash tables, bucket =
+    sign-bit signature of n_planes seeded projections per table (numpy,
+    Arrow batches); a pair is a candidate if it collides in ANY table
+    (recall 1−(1−p^k)^L instead of the single-table p^k ceiling), exact
+    cosine verify inside buckets only. The bucket join carries ids, not
+    vectors — vectors rejoin per candidate pair after the dedup."""
     dim = len(emb.select(vec).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
 
     cols = emb.select(F.col(key).alias("doc_id"), F.col(vec).alias("v"))
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                    "bucket": pd.Series([], dtype="int64"),
-                                    "v": pd.Series([], dtype="object")})
                 continue
             m = np.stack(pdf["v"].values).astype(np.float32)
-            signs = (m @ planes) > 0
-            buckets = signs @ (1 << np.arange(n_planes))
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "bucket": buckets.astype("int64"), "v": pdf["v"].values}
-            )
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            for t in range(n_tables):
+                buckets = (((m @ planes[t]) > 0) @ powers).astype("int64")
+                yield pd.DataFrame(
+                    {"doc_id": ids, "table": np.full(len(ids), t),
+                     "bucket": buckets}
+                )
 
-    bucketed = cols.mapInPandas(bucketize, "doc_id long, bucket long, v array<float>")
-    l = bucketed.select(F.col("doc_id").alias("a"), F.col("bucket"), F.col("v").alias("va"))
-    r = bucketed.select(F.col("doc_id").alias("b"), F.col("bucket"), F.col("v").alias("vb"))
+    bucketed = cols.mapInPandas(bucketize, "doc_id long, table int, bucket long")
+    cand = (
+        bucketed.select(F.col("doc_id").alias("a"), "table", "bucket")
+        .join(
+            bucketed.select(F.col("doc_id").alias("b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = cols.select(F.col("doc_id").alias("a"), F.col("v").alias("va"))
+    vb = cols.select(F.col("doc_id").alias("b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -320,10 +342,9 @@ def embedding_near_dupes(
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
     return (
-        l.join(r, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
-        .distinct()
     )

@@ -64,8 +64,15 @@ def train_centroids(
 ) -> np.ndarray:
     """Deterministic mini k-means on a fixed-size sample (driver-side —
     centroids are the broadcastable model, like any ANN index's coarse
-    quantizer)."""
-    rows = corpus.select(vec).limit(sample).collect()
+    quantizer). The sample is hash-ordered so it does not depend on
+    partition/task scheduling (a bare ``limit`` without order is
+    partition-order dependent across runs/cluster sizes)."""
+    rows = (
+        corpus.select(vec)
+        .orderBy(F.xxhash64(F.col(vec).cast("string")))
+        .limit(sample)
+        .collect()
+    )
     x = np.stack([np.asarray(r[0], dtype=np.float32) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)
