@@ -61,18 +61,17 @@ def train_centroids(
     sample: int = 4096,
     seed: int = 42,
     vec: str = "embedding",
+    key: str | None = None,
 ) -> np.ndarray:
     """Deterministic mini k-means on a fixed-size sample (driver-side —
     centroids are the broadcastable model, like any ANN index's coarse
-    quantizer). The sample is hash-ordered so it does not depend on
-    partition/task scheduling (a bare ``limit`` without order is
-    partition-order dependent across runs/cluster sizes)."""
-    rows = (
-        corpus.select(vec)
-        .orderBy(F.xxhash64(F.col(vec).cast("string")))
-        .limit(sample)
-        .collect()
-    )
+    quantizer). The sample is hash-ordered (TakeOrdered: per-partition
+    top-N, merged — parallel) so it does not depend on partition/task
+    scheduling the way a bare ``limit`` does; ordering by the hashed
+    ``key`` column is preferred (hashing the cast vector costs an extra
+    serialization pass)."""
+    order = F.xxhash64(key) if key else F.xxhash64(F.col(vec).cast("string"))
+    rows = corpus.select(vec, order.alias("_o")).orderBy("_o").limit(sample).collect()
     x = np.stack([np.asarray(r[0], dtype=np.float32) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)
@@ -121,7 +120,7 @@ def ivf_topk(
     exact cosine re-rank inside them. Returns
     (query_id, neighbor_id, cosine, rank)."""
     if cents is None:
-        cents = train_centroids(corpus, n_cells=n_cells, vec=vec)
+        cents = train_centroids(corpus, n_cells=n_cells, vec=vec, key=key)
     indexed = assign_cells(corpus, cents, key, vec).withColumnRenamed("id", "neighbor_id")
 
     # query → its n_probe nearest cells (tiny, driver/broadcast side)
