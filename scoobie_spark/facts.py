@@ -83,3 +83,131 @@ def recommend_facts(
     return pairs.join(F.broadcast(top), ["s_cluster", "o_cluster"]).select(
         "doc_id", "s", "p", "o", F.col("probability").alias("weight")
     )
+
+
+_CF_EVAL_SCHEMA = "doc_id long, n_eval int, accuracy double, fallout double"
+
+
+def _cf_eval_one_doc(
+    spo: "np.ndarray",
+    cls: dict,
+    markov: dict,
+    type_id: int,
+    clusters: set,
+):
+    """Leave-one-out item-based CF over one document's fact graph
+    (FactRecommender.compareRecommender, FactRecommender.java:329-480).
+
+    For each held-out (s,p,o) with both endpoints classified: build the
+    0/1 item×subject matrix over the REMAINING triples (items =
+    distinct (p,o) pairs), zero single-cardinality subject columns,
+    item-item Pearson similarity clipped at 0 and masked to pairs with
+    shared type-item evidence, CF fill-in pred = sim @ M for empty
+    cells, then score each predicted cell by the markov probability of
+    (cluster(s), p, cluster(o)). The held-out triple predicted ⇒
+    correct; other predictions ⇒ fallout.
+
+    Deviations from the Java (documented, both evident defects in the
+    eval-only code): the reference accumulates ``matrix.add`` across
+    hold-out iterations instead of rebuilding (counts grow per round),
+    and its type-evidence mask indexes subjects with item ids; here the
+    matrix is rebuilt per hold-out and type evidence is computed in the
+    item space.
+    """
+    import numpy as np
+
+    triples = [tuple(int(x) for x in row) for row in spo]
+    items = {}
+    for s, p, o in triples:
+        items.setdefault((p, o), len(items))
+    subs = {}
+    for s, p, o in triples:
+        subs.setdefault(s, len(subs))
+    type_items = [
+        i for (p, o), i in items.items() if p == type_id and o in clusters
+    ]
+    correct = unknown = n_eval = 0
+    for k, held in enumerate(triples):
+        hs, hp, ho = held
+        if hs not in cls or ho not in cls:
+            continue
+        n_eval += 1
+        rest = triples[:k] + triples[k + 1:]
+        m = np.zeros((len(items), len(subs)))
+        for s, p, o in rest:
+            m[items[(p, o)], subs[s]] = 1.0
+        # zero single-cardinality subject columns (cold-start noise)
+        m[:, (m.sum(axis=0) == 1)] = 0.0
+        if not m.any():
+            continue
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = np.corrcoef(m)
+        sim = np.nan_to_num(sim)
+        np.clip(sim, 0.0, None, out=sim)
+        np.fill_diagonal(sim, 0.0)
+        if type_items:
+            tvec = m[type_items].sum(axis=0)          # type mass per subject
+            support = (m * tvec) @ m.T                # shared typed subjects
+            sim[support == 0] = 0.0
+        else:
+            sim[:] = 0.0
+        pred = sim @ m
+        pred[m > 0] = 0.0                             # only fill empty cells
+        for (p, o), i in items.items():
+            for s, j in subs.items():
+                if pred[i, j] == 0 or s == o or s not in cls or o not in cls:
+                    continue
+                pr = markov.get((cls[s], p, cls[o]), 1e-6)
+                if pr * pred[i, j] > 0:
+                    if (s, p, o) == held:
+                        correct += 1
+                    else:
+                        unknown += 1
+    acc = correct / n_eval if n_eval else 0.0
+    fall = unknown / n_eval if n_eval else 0.0
+    return n_eval, acc, fall
+
+
+def cf_recommend_eval(
+    facts: DataFrame,
+    kb: KB,
+    markov_chain: DataFrame,
+    type_clusters: DataFrame,
+) -> DataFrame:
+    """The reference's CF-recommender comparison experiment as a
+    distributed eval: per document, leave-one-out accuracy/fallout of
+    the item-based CF recommender over the doc's fact graph →
+    (doc_id, n_eval, accuracy, fallout).
+
+    ``facts`` is (doc_id, s, p, o) (e.g. :func:`known_facts` plus
+    rdf:type rows). classification = majority cluster per subject;
+    markov lookups ship as a broadcast dict (stats-table scale). The
+    per-doc matrices are tens of items — per-doc numpy inside one
+    applyInPandas pass, the same physical policy as disambiguation."""
+    import pandas as pd
+
+    cls_rows = majority_cluster(
+        facts.select(F.col("s").alias("subject"))
+        .unionByName(facts.select(F.col("o").alias("subject")))
+        .distinct(),
+        kb,
+        type_clusters,
+    ).collect()
+    cls = {r["subject"]: r["cluster"] for r in cls_rows}
+    markov = {
+        (r["s_cluster"], r["p"], r["o_cluster"]): r["probability"]
+        for r in markov_chain.collect()
+    }
+    clusters = {r["cluster"] for r in type_clusters.select("cluster").distinct().collect()}
+    type_id = kb.rdf_type_id or -1
+
+    def eval_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf["doc_id"].iloc[0]
+        n_eval, acc, fall = _cf_eval_one_doc(
+            pdf[["s", "p", "o"]].to_numpy(), cls, markov, type_id, clusters
+        )
+        return pd.DataFrame(
+            {"doc_id": [doc], "n_eval": [n_eval], "accuracy": [acc], "fallout": [fall]}
+        )
+
+    return facts.groupBy("doc_id").applyInPandas(eval_doc, _CF_EVAL_SCHEMA)

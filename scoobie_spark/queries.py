@@ -1037,6 +1037,23 @@ def q_micro_pipeline_classification(spark: SparkSession, sf: str) -> DataFrame:
     return resolved.groupBy("subject").agg(F.count("*").alias("n_mentions"))
 
 
+def q_b24_cf_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """B24 CF comparison recommender eval (leave-one-out item-based CF,
+    FactRecommender.compareRecommender:329-480) over synthetic per-doc
+    fact graphs. Rows-only (iterative numpy per doc)."""
+    from .facts import cf_recommend_eval
+    from .fixtures import synth_kb
+    from .kb.stats import markov_chain, type_clusters
+
+    kb = synth_kb(spark, n_instances=60)
+    clusters = type_clusters(kb, sample_per_type=None)
+    mc = markov_chain(kb, clusters)
+    docs_facts = kb.relations.filter(F.col("s") % 10 < 3).select(
+        (F.col("s") % 7).alias("doc_id"), "s", "p", "o"
+    )
+    return cf_recommend_eval(docs_facts, kb, mc, clusters)
+
+
 def q_micro_rdfa(spark: SparkSession, sf: str) -> DataFrame:
     """B26: RDFa serialization of resolved spans on the micro fixture."""
     from . import serialize, textproc
@@ -1124,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "micro_pipeline_hits2": q_micro_pipeline_hits2,
         "micro_pipeline_random": q_micro_pipeline_random,
         "micro_pipeline_classification": q_micro_pipeline_classification,
+        "b24_cf_eval": q_b24_cf_eval,
         "micro_rdfa": q_micro_rdfa,
         "flagship_triples": q_flagship_triples,
     }
