@@ -104,3 +104,38 @@ class KB:
             relations=spark.read.format(fmt).load(f"{base}/relations"),
             symbols=spark.read.format(fmt).load(f"{base}/symbols"),
         )
+
+    _BUCKET_KEYS = {
+        "resources": "id",      # decode joins
+        "literals": "prefix",   # gazetteer equi-join key (indexscheme.sql:1)
+        "relations": "s",       # expansion-edge / known-facts joins
+        "symbols": "lit",       # instance-resolution join (p, lit)
+    }
+
+    def write_bucketed(self, prefix: str = "scoobie_kb", buckets: int = 32) -> None:
+        """A10 as a REAL bucketed layout: ``bucketBy`` + ``sortBy`` into
+        catalog tables, one per KB table, each on its hot join key.
+        A join probing a bucketed table on its bucket key skips that
+        side's shuffle entirely (the write-time layout IS the index —
+        the Spark analogue of the reference's deferred b-tree builds,
+        PostgresKB.java:877-934, and of the Iceberg
+        ``partitionedBy(bucket(N, key))`` layout this would use on a
+        cluster)."""
+        for name, key in self._BUCKET_KEYS.items():
+            (
+                getattr(self, name)
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(f"{prefix}_{name}")
+            )
+
+    @classmethod
+    def read_bucketed(cls, spark, prefix: str = "scoobie_kb") -> "KB":
+        return cls(
+            resources=spark.table(f"{prefix}_resources"),
+            literals=spark.table(f"{prefix}_literals"),
+            relations=spark.table(f"{prefix}_relations"),
+            symbols=spark.table(f"{prefix}_symbols"),
+        )

@@ -152,3 +152,35 @@ def test_uri_length_checked_on_raw_before_encoding(spark):
     assert rows == {
         (near.replace(" ", "%20"), "http://p", "http://o%5B1%5D"),
     }
+
+
+def test_bucketed_kb_layout_skips_shuffle(spark, tmp_path):
+    """A10: the bucketed saveAsTable layout is a real index — a join
+    probing `relations` on its bucket key (s) shuffles ONLY the probe
+    side; the bucketed scan itself has no Exchange above it."""
+    from pyspark.sql import functions as F
+
+    from scoobie_spark.fixtures import synth_kb
+    from scoobie_spark.kb.model import KB
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kb = synth_kb(spark, 100)
+        kb.write_bucketed(prefix="tkb_test", buckets=4)
+        kb2 = KB.read_bucketed(spark, "tkb_test")
+        probe = spark.range(1000).select((F.col("id") % 50).alias("s"), F.lit(1).alias("x"))
+        j = kb2.relations.join(probe, "s")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Bucketed: true" in plan
+        # exactly ONE exchange node: the probe side
+        import re
+
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1, plan
+        # and it still computes the right thing
+        assert j.count() == probe.join(kb.relations, "s").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for t in ("resources", "literals", "relations", "symbols"):
+            spark.sql(f"DROP TABLE IF EXISTS tkb_test_{t}")
