@@ -184,6 +184,11 @@ def extract_triples(
 
     # --- B1-B9: candidates + gazetteer join ---------------------------
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    # a suffix only ever needs max(len(literal)) + 1 chars (the +1 feeds
+    # the B12 tiling probe) — one dictionary-scale agg shrinks every
+    # candidate row shipped through the spot join
+    max_lit = kb.literals.agg(F.max(F.length("literal"))).first()[0] or 0
+    suffix_cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
     candidates = _stage(
         cfg,
         "candidates",
@@ -192,6 +197,7 @@ def extract_triples(
             kb_prefixes,
             check_sha256=cfg.check_sha256,
             np_filter=cfg.np_candidate_filter,
+            max_suffix_len=suffix_cap,
         ),
         spark,
     )

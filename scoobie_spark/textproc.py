@@ -111,6 +111,7 @@ def suffix_candidates(
     kb_prefixes: "np.ndarray | set[int]",
     check_sha256: bool = False,
     np_filter: bool = False,
+    max_suffix_len: int = MAX_SUFFIX_LEN,
 ) -> DataFrame:
     """B7 + the document half of B8: per token start, if the 4-char
     prefix hash (lowercase OR original case, SuffixArray.java:114-117)
@@ -126,6 +127,12 @@ def suffix_candidates(
 
     Only token starts whose first char is a letter/digit probe the
     gazetteer (SuffixArray.java:114 ``Character.isLetterOrDigit``).
+
+    ``max_suffix_len`` caps the emitted suffix: matching only ever
+    needs ``max(len(literal)) + 1`` chars (the +1 feeds B12's tiling
+    probe of the char after the span), so callers that know the KB's
+    longest literal shrink every candidate row shipped through the
+    spot join — often the pipeline's largest byte volume.
     """
     prefix_arr = np.asarray(sorted(set(int(p) for p in kb_prefixes)), dtype=np.int64)
 
@@ -149,15 +156,28 @@ def suffix_candidates(
         np.cumsum(lens[:-1] + 1, out=doc_off[1:])
         doc_end = doc_off + lens
 
-        starts = np.fromiter(
-            (m.start() for m in _TOKEN_RE.finditer(joined)), dtype=np.int64
-        )
-        if len(starts) == 0:
-            return None
-        if joined.isascii():
+        is_ascii = joined.isascii()
+        if is_ascii:
             cp = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(np.int64)
+            # numpy tokenizer ≡ _TOKEN_RE (\w+|[^\w\s]) for ASCII text:
+            # starts = word-run heads + every lone non-word non-space
+            # char (NUL separators land in the second class and are
+            # dropped by the first-char class filter below) — the regex
+            # finditer was O(tokens) python, the hot loop of this stage
+            w = (
+                ((cp >= 48) & (cp <= 57)) | ((cp >= 65) & (cp <= 90))
+                | ((cp >= 97) & (cp <= 122)) | (cp == 95)
+            )
+            sp = (cp == 32) | ((cp >= 9) & (cp <= 13))
+            prev_w = np.concatenate(([False], w[:-1]))
+            starts = np.flatnonzero((w & ~prev_w) | (~w & ~sp))
         else:
             cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            starts = np.fromiter(
+                (m.start() for m in _TOKEN_RE.finditer(joined)), dtype=np.int64
+            )
+        if len(starts) == 0:
+            return None
         cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.int64)])
         first = cp_pad[starts]
         if np_filter:
@@ -263,7 +283,7 @@ def suffix_candidates(
                     continue
                 didx, begin_local, hashes, gstart, joined, doc_end = res
                 suffixes = [
-                    joined[int(a) : min(int(a) + MAX_SUFFIX_LEN, int(doc_end[d]))]
+                    joined[int(a) : min(int(a) + max_suffix_len, int(doc_end[d]))]
                     for a, d in zip(gstart, didx)
                 ]
                 frames.append(
