@@ -121,3 +121,29 @@ def test_filter_mentions_tiny_arrow_batches(spark, batch):
         if tuple(r[:8]) in naive_filter(rows)
     }
     assert got == want
+
+
+def test_numpy_tokenizer_matches_regex():
+    """The ASCII fast-path token-start mask in suffix_candidates must be
+    position-identical to the _TOKEN_RE (\\w+|[^\\w\\s]) scan, including
+    NUL separators, underscores, digits, and punctuation runs."""
+    import random
+
+    import numpy as np
+
+    from scoobie_spark.textproc import _TOKEN_RE
+
+    random.seed(1)
+    alphabet = "ab C1_.,!?-\t\n \0xyz#"
+    for _ in range(300):
+        s = "".join(random.choices(alphabet, k=random.randint(0, 200)))
+        cp = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        w = (
+            ((cp >= 48) & (cp <= 57)) | ((cp >= 65) & (cp <= 90))
+            | ((cp >= 97) & (cp <= 122)) | (cp == 95)
+        )
+        sp = (cp == 32) | ((cp >= 9) & (cp <= 13))
+        prev_w = np.concatenate(([False], w[:-1]))
+        got = np.flatnonzero((w & ~prev_w) | (~w & ~sp)).tolist()
+        want = [m.start() for m in _TOKEN_RE.finditer(s)]
+        assert got == want, s.encode()
