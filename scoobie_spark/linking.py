@@ -475,9 +475,14 @@ def kb_adjacency(
     transfer (not a row-at-a-time ``toLocalIterator``)."""
     type_id = kb.rdf_type_id
     rel = kb.relations if type_id is None else kb.relations.filter(F.col("p") != type_id)
-    if max_rows is not None and rel.limit(max_rows + 1).count() > max_rows:
+    # single job: pull at most max_rows+1 distinct edges — an overflow
+    # row proves the KB exceeds the cap without a separate count probe
+    probe = rel.select("s", "o").distinct()
+    if max_rows is not None:
+        probe = probe.limit(max_rows + 1)
+    pdf = probe.toPandas()
+    if max_rows is not None and len(pdf) > max_rows:
         return None
-    pdf = rel.select("s", "o").distinct().toPandas()
     # ~130 B per directed entry (3-int tuple inside a list under a dict
     # slot); each edge creates two entries
     if len(pdf) * 2 * 130 > max_bytes:

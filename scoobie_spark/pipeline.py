@@ -183,11 +183,17 @@ def extract_triples(
     docs = textproc.with_doc_id(docs)
 
     # --- B1-B9: candidates + gazetteer join ---------------------------
-    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
-    # a suffix only ever needs max(len(literal)) + 1 chars (the +1 feeds
-    # the B12 tiling probe) — one dictionary-scale agg shrinks every
+    # ONE dictionary-scale job yields both the distinct prefix set and
+    # max(len(literal)); the latter caps emitted suffixes at
+    # max_lit + 1 (the +1 feeds the B12 tiling probe) — shrinking every
     # candidate row shipped through the spot join
-    max_lit = kb.literals.agg(F.max(F.length("literal"))).first()[0] or 0
+    pref_rows = (
+        kb.literals.groupBy("prefix")
+        .agg(F.max(F.length("literal")).alias("ml"))
+        .collect()
+    )
+    kb_prefixes = [r["prefix"] for r in pref_rows]
+    max_lit = max((r["ml"] for r in pref_rows), default=0)
     suffix_cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
     candidates = _stage(
         cfg,
