@@ -347,4 +347,7 @@ def embedding_near_dupes(
         .withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+        # duplicate ids in `emb` would multiply through the vector
+        # rejoin even though cand_ids is distinct
+        .distinct()
     )

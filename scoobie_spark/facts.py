@@ -198,8 +198,13 @@ def cf_recommend_eval(
         (r["s_cluster"], r["p"], r["o_cluster"]): r["probability"]
         for r in markov_chain.collect()
     }
-    clusters = {r["cluster"] for r in type_clusters.select("cluster").distinct().collect()}
-    type_id = kb.rdf_type_id or -1
+    # membership set = every clustered type (members AND labels): the
+    # reference checks labels only (kb.getClusters()), which zeroes CF
+    # evidence for docs typed with non-representative members
+    cl_rows = type_clusters.collect()
+    clusters = {r["type"] for r in cl_rows} | {r["cluster"] for r in cl_rows}
+    type_id = kb.rdf_type_id
+    type_id = -1 if type_id is None else type_id  # id 0 is a valid id
 
     def eval_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         doc = pdf["doc_id"].iloc[0]

@@ -98,10 +98,16 @@ class FilterContext:
                 self.types.add(r["o_cluster"])
         if self.types:
             cl = {r["type"]: r["cluster"] for r in type_clusters.collect()}
-            self.types = {cl.get(t, t) for t in self.types}
+            labels = {cl.get(t, t) for t in self.types}
+            # the downstream rdf:type filter compares against RAW type
+            # ids, so a cluster label must expand back to every member
+            # type — storing only the label (as the reference does)
+            # would silently NARROW recall to subjects typed with the
+            # representative member
+            self.types = labels | {t for t, c in cl.items() if c in labels}
             props = (
                 proper_noun.filter(
-                    F.col("cluster").isin(*self.types) & (F.col("rating") > rating)
+                    F.col("cluster").isin(*labels) & (F.col("rating") > rating)
                 )
                 .select("property")
                 .distinct()

@@ -38,7 +38,7 @@ _TTL_TOKEN = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<uri><[^>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^\S+|@[\w\-]+)?)
+  | (?P<literal>"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^>]*>|[^\s;,.]+)|@[\w\-]+)?)
   | (?P<punct>[;,.])
   | (?P<word>[^\s;,"]+)
     """,
@@ -56,8 +56,19 @@ def _unescape(s: str) -> str:
 def _ttl_tokens(text: str) -> list[str]:
     out = []
     for m in _TTL_TOKEN.finditer(text):
-        if m.lastgroup != "comment":
-            out.append(m.group(0))
+        if m.lastgroup == "comment":
+            continue
+        tok = m.group(0)
+        # a statement terminator glued to a prefixed name ("ex:o.")
+        # must tokenize as name + '.': Turtle's PN_LOCAL cannot end in
+        # a dot, so trailing dots on word tokens are always terminators
+        if m.lastgroup == "word":
+            stripped = tok.rstrip(".")
+            if stripped and stripped != tok:
+                out.append(stripped)
+                out.extend("." * (len(tok) - len(stripped)))
+                continue
+        out.append(tok)
     return out
 
 

@@ -458,7 +458,7 @@ def _make_filter_resolve_adj(adj_or_bc):
 
 
 def kb_adjacency(
-    kb: KB, max_rows: int | None = 500_000, max_bytes: int = 64 << 20
+    kb: KB, max_rows: int | None = 240_000, max_bytes: int = 64 << 20
 ) -> dict | None:
     """Collect the non-rdf:type relation rows as a per-subject adjacency
     map {subject: ((src, dst, dir), ...)} with one entry under EACH
@@ -468,7 +468,10 @@ def kb_adjacency(
     Returns None when the KB graph exceeds ``max_rows`` OR the
     estimated in-memory size exceeds ``max_bytes`` (~64MB, the same
     order as autoBroadcastJoinThreshold — broadcasting a multi-GB
-    Python adjacency would cost cores × GBs of worker RSS). The caller
+    Python adjacency would cost cores × GBs of worker RSS). The two
+    defaults are coherent: 240k edges × ~260 B ≈ 62 MB, so raising
+    ``max_rows`` alone past ~258k is a no-op without also raising
+    ``max_bytes``. The caller
     falls back to the edge-join path; at DBpedia's ~10^8 relations the
     fallback always triggers, while bounded domain KBs get the
     shuffle-free path. The edge list arrives via ONE Arrow ``toPandas``

@@ -49,9 +49,10 @@ class PipelineConfig:
     # broadcast the KB relation graph as a per-subject adjacency when it
     # has at most this many non-type edges — the expansion edges then
     # never shuffle (rebuilt per doc inside the Arrow pass). Above the
-    # cap (or above linking.kb_adjacency's ~64MB byte estimate) the
-    # edge-join path runs instead. 0 = off.
-    adjacency_max_rows: int = 500_000
+    # cap (or above linking.kb_adjacency's ~64MB byte estimate, which
+    # this default sits just under) the edge-join path runs instead.
+    # 0 = off.
+    adjacency_max_rows: int = 240_000
     # north_rule URI canonicalization (min-hash union-find over labels):
     # rewrite emitted subject URIs through the canonical map. Off by
     # default — it intentionally changes the triple set vs the reference.

@@ -660,15 +660,22 @@ def q_a15_idf(spark: SparkSession, sf: str) -> DataFrame:
         d.crossJoin(F.broadcast(phrases))
         .filter(F.instr(F.col("text"), F.col("phrase")) > 0)
     )
-    return hits.groupBy("phrase").agg(
-        F.count("*").alias("df"),
-        F.round(F.lit(float(n_total)) / (F.count("*") + 1), 6).alias("idf"),
+    # integer micro-units, like a12: double round() is not
+    # representation-stable across engines
+    return (
+        hits.groupBy("phrase")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "phrase",
+            "df",
+            F.expr(f"({n_total} * 1000000) DIV (df + 1)").alias("idf_micro"),
+        )
     )
 
 
 SQL_A15_IDF = """
 SELECT phrase, count(*) AS df,
-       round((SELECT count(*) FROM documents) * 1.0 / (count(*) + 1), 6) AS idf
+       ((SELECT count(*) FROM documents) * 1000000) // (count(*) + 1) AS idf_micro
 FROM (
   SELECT d.doc_id, w.phrase
   FROM documents d

@@ -168,7 +168,9 @@ def suffix_candidates(
                 ((cp >= 48) & (cp <= 57)) | ((cp >= 65) & (cp <= 90))
                 | ((cp >= 97) & (cp <= 122)) | (cp == 95)
             )
-            sp = (cp == 32) | ((cp >= 9) & (cp <= 13))
+            # \s also covers the ASCII separators \x1c-\x1f in unicode
+            # regex semantics
+            sp = (cp == 32) | ((cp >= 9) & (cp <= 13)) | ((cp >= 28) & (cp <= 31))
             prev_w = np.concatenate(([False], w[:-1]))
             starts = np.flatnonzero((w & ~prev_w) | (~w & ~sp))
         else:

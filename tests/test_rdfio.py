@@ -187,3 +187,21 @@ def test_zip_container(spark, tmp_path):
         zf.writestr("test2.ttl", TEST2_TTL)
     kb = build_kb_from_dumps(spark, str(z), fmt="turtle", zipped=True)
     assert sorted(tuple(r) for r in kb.resources.collect()) == FROZEN_RESOURCES
+
+
+def test_turtle_glued_statement_terminator():
+    """A '.' glued to the final prefixed name must terminate the
+    statement, not join the name (Turtle PN_LOCAL cannot end in '.'),
+    and typed-literal datatype suffixes must not swallow it either."""
+    t = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:s ex:p ex:o.\n"
+        "ex:s2 ex:p2 ex:o2 .\n"
+        'ex:s3 ex:p3 "5"^^<http://www.w3.org/2001/XMLSchema#int>.\n'
+        'ex:s4 ex:p4 "x"^^ex:dt.\n'
+    )
+    assert ("http://e/s", "http://e/p", "http://e/o", None) in t
+    assert ("http://e/s2", "http://e/p2", "http://e/o2", None) in t
+    assert ("http://e/s3", "http://e/p3", None, "5") in t
+    assert ("http://e/s4", "http://e/p4", None, "x") in t
+    assert len(t) == 4

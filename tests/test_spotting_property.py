@@ -134,7 +134,7 @@ def test_numpy_tokenizer_matches_regex():
     from scoobie_spark.textproc import _TOKEN_RE
 
     random.seed(1)
-    alphabet = "ab C1_.,!?-\t\n \0xyz#"
+    alphabet = "ab C1_.,!?-\t\n \0xyz#\x1c\x1d\x1e\x1f"
     for _ in range(300):
         s = "".join(random.choices(alphabet, k=random.randint(0, 200)))
         cp = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
@@ -142,7 +142,7 @@ def test_numpy_tokenizer_matches_regex():
             ((cp >= 48) & (cp <= 57)) | ((cp >= 65) & (cp <= 90))
             | ((cp >= 97) & (cp <= 122)) | (cp == 95)
         )
-        sp = (cp == 32) | ((cp >= 9) & (cp <= 13))
+        sp = (cp == 32) | ((cp >= 9) & (cp <= 13)) | ((cp >= 28) & (cp <= 31))
         prev_w = np.concatenate(([False], w[:-1]))
         got = np.flatnonzero((w & ~prev_w) | (~w & ~sp)).tolist()
         want = [m.start() for m in _TOKEN_RE.finditer(s)]
