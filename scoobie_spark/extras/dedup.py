@@ -88,15 +88,23 @@ def ngram_jaccard_pairs(
     with document frequency > max_shingle_df are dropped (skew + noise
     control — a shingle shared by thousands of docs identifies nothing).
     """
-    sh = shingles(docs, n, key, text).cache()
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sh = sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "shingle", "left_semi")
+    # every aggregate/join key is the 8-byte xxhash64 of the shingle,
+    # not the ~n-word string — 3-4× less shuffle volume; a 64-bit
+    # collision would need ~2^32 distinct shingles per corpus to appear
+    # at even-odds (birthday bound), far beyond any per-join volume here
+    sh = (
+        shingles(docs, n, key, text)
+        .select("doc_id", F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh = sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "sh", "left_semi")
 
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("size"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
