@@ -86,6 +86,70 @@ def extract_features(media: DataFrame, batch_target_bytes: int = 64 << 20) -> Da
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, payload binary"
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize — replace with PIL ``Image.resize`` in production.
+
+    Deterministic: re-samples the byte stream to ``width*height`` bytes
+    by index mapping (nearest-neighbour over the 1-D stream), so the
+    output length contract (payload size tracks target dims) and
+    determinism are testable without codecs."""
+    if not payload:
+        raise ValueError("resize_stub: empty payload")
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    idx = (np.arange(width * height) * len(arr) // (width * height)).clip(0, len(arr) - 1)
+    return arr[idx].tobytes()
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize image rows to (width, height) — Arrow-batched, metadata
+    columns updated alongside the payload; non-image rows pass through
+    untouched paths upstream (filter before calling)."""
+    imgs = media.filter(F.col("kind") == "image")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_stub(p, width, height) for p in pdf["payload"].values]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "payload": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return imgs.select("media_id", "kind", "payload").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio windowing plan: (media_id, win_start_ms, win_end_ms) rows
+    via JVM-side sequence/explode — the per-window decode/feature step
+    consumes this plan in the same Arrow pass as extract_features
+    (overlapping windows when hop < window, standard STFT framing)."""
+    aud = media.filter(F.col("kind") == "audio")
+    return aud.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
+        ).alias("win_start_ms"),
+        F.col("duration_ms"),
+    ).select(
+        "media_id",
+        "win_start_ms",
+        F.least(F.col("win_start_ms") + window_ms, F.col("duration_ms")).alias(
+            "win_end_ms"
+        ),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: (media_id, frame_ts_ms) rows via
     JVM-side sequence/explode — the decode of each frame would consume

@@ -179,3 +179,27 @@ def test_fingerprints_match_scalar_oracle(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(docs).collect()}
     for i, t in enumerate(texts):
         assert got[i] == oracle(t), f"doc {i}"
+
+
+def test_multimodal_resize_and_audio_windows(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    resized = multimodal.resize_media(media, width=8, height=4).collect()
+    assert resized  # images present in the synth table
+    for r in resized:
+        assert r["width"] == 8 and r["height"] == 4
+        assert len(r["payload"]) == 8 * 4  # payload size tracks target dims
+    # determinism
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in multimodal.resize_media(media, width=8, height=4).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in resized} == again
+
+    wins = multimodal.audio_window_plan(media, window_ms=1000, hop_ms=500).collect()
+    assert wins
+    by_media = {}
+    for w in wins:
+        assert w["win_start_ms"] < w["win_end_ms"]
+        assert w["win_end_ms"] - w["win_start_ms"] <= 1000
+        by_media.setdefault(w["media_id"], []).append(w["win_start_ms"])
+    for starts in by_media.values():
+        starts.sort()
+        assert all(b - a == 500 for a, b in zip(starts, starts[1:]))  # hop
