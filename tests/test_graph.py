@@ -66,3 +66,41 @@ def test_hits(spark):
     h = {r["node"]: (r["hub"], r["auth"]) for r in graph.hits(e, max_iter=5).collect()}
     assert h[1][0] == max(v[0] for v in h.values())
     assert h[2][1] == pytest.approx(h[3][1]) == pytest.approx(h[4][1])
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Differential: 20 random graphs vs a python union-find oracle —
+    exact (node → min-node-of-component) maps must match."""
+    import random
+
+    random.seed(23)
+    for trial in range(20):
+        n_nodes = random.randint(2, 60)
+        n_edges = random.randint(1, 80)
+        es = [
+            (random.randrange(n_nodes), random.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in es:
+            touched.add(a)
+            touched.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in touched}
+
+        e = spark.createDataFrame(es, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in graph.connected_components(e).collect()
+        }
+        assert got == want, (trial, es)
