@@ -19,10 +19,12 @@ def set_precision_recall(
 ) -> dict[str, float]:
     """Global set P/R over ``keys`` (e.g. spotting: [doc, prop, literal];
     instances: [doc, subject_uri])."""
-    f = found.select(*keys).distinct()
-    t = truth.select(*keys).distinct()
+    f = found.select(*keys).distinct().cache()
+    t = truth.select(*keys).distinct().cache()
     tp = f.join(t, keys, "left_semi").count()
     nf, nt = f.count(), t.count()
+    f.unpersist()
+    t.unpersist()
     return {
         "precision": tp / nf if nf else 1.0,
         "recall": tp / nt if nt else 1.0,
@@ -64,8 +66,12 @@ def mean_average_precision(
     item_col: str = "subject",
     score_col: str = "score",
 ) -> float:
-    """MAP over per-doc ranked lists (DoubleMatrix.averagePrecision:
-    AP = mean over relevant ranks of precision@rank)."""
+    """MAP over per-doc ranked lists, reference-exact
+    (DoubleMatrix.averagePrecision:123-157): AP = Σ precision@rank over
+    RETRIEVED relevant items ÷ TOTAL relevant count — so a doc whose
+    ranked list misses relevant items is penalized, and a doc
+    retrieving none of its truth scores AP = 0 rather than vanishing
+    from the mean."""
     t = truth.select(doc_col, item_col).distinct().withColumn("rel", F.lit(1))
     w = Window.partitionBy(doc_col).orderBy(F.col(score_col).desc(), F.col(item_col))
     scored = (
@@ -77,10 +83,16 @@ def mean_average_precision(
         )
         .withColumn("p_at_k", F.col("cum_rel") / F.col("rank"))
     )
-    ap = (
+    hit_sum = (
         scored.filter(F.col("rel") == 1)
         .groupBy(doc_col)
-        .agg(F.avg("p_at_k").alias("ap"))
+        .agg(F.sum("p_at_k").alias("hit_sum"))
+    )
+    n_truth = t.groupBy(doc_col).agg(F.count("*").alias("n_rel"))
+    ap = (
+        n_truth.join(hit_sum, doc_col, "left")
+        .fillna(0.0, subset=["hit_sum"])
+        .select((F.col("hit_sum") / F.col("n_rel")).alias("ap"))
     )
     row = ap.agg(F.avg("ap").alias("map")).first()
     return float(row["map"]) if row["map"] is not None else 0.0

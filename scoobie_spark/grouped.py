@@ -101,6 +101,12 @@ def cogrouped_apply(
     semantics."""
     lcols = left.columns
     rcols = [c for c in right.columns if c != right_key]
+    overlap = (set(lcols) - {key}) & set(rcols)
+    if overlap:
+        raise ValueError(
+            "cogrouped_apply requires disjoint non-key columns; shared: "
+            f"{sorted(overlap)} (rename one side before cogrouping)"
+        )
     from pyspark.sql import functions as F
 
     l_tag = left.select(

@@ -151,8 +151,14 @@ def noun_phrases(chunked: DataFrame) -> DataFrame:
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     inside = chunked.withColumn("phrase_id", pid).filter(F.col("np") != "O")
+    # collect_list order after an exchange is NOT contractual — sort the
+    # collected (start, word) structs explicitly before joining words
+    words_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("start", "word"))),
+        lambda s: s["word"],
+    )
     return inside.groupBy("doc_id", "sent_id", "phrase_id").agg(
         F.min("start").alias("begin"),
         F.max("end").alias("end"),
-        F.concat_ws(" ", F.collect_list("word")).alias("phrase"),
+        F.array_join(words_sorted, " ").alias("phrase"),
     )

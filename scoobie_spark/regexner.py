@@ -31,14 +31,22 @@ SCHEMA = "doc_id long, begin int, end int, regex string, value string"
 
 
 def regex_entities(docs: DataFrame, patterns: dict[str, str] | None = None) -> DataFrame:
-    """(doc_id, content) → regex entity spans."""
+    """(doc_id, content) → regex entity spans.
+
+    Scans the NORMALIZED text (the same length-preserving HTML-blanking
+    every other extraction layer sees, textproc._normalize_series) so
+    emitted offsets line up with the token layer and spans never land
+    inside markup the pipeline deliberately blanked out."""
+    from .textproc import _normalize_series
+
     pats = {k: re.compile(v) for k, v in (patterns or DEFAULT_PATTERNS).items()}
     cols = docs.select("doc_id", "content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc, a, b, name, val = [], [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["content"].values):
+            texts = _normalize_series(pdf["content"])
+            for doc_id, text in zip(pdf["doc_id"].values, texts.values):
                 for n, rx in pats.items():
                     for m in rx.finditer(text):
                         doc.append(doc_id)

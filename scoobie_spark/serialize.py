@@ -109,8 +109,11 @@ def rdfa_serialize(docs_with_id: DataFrame, resolved: DataFrame, kb: KB) -> Data
     text in XHTML+RDFa spans per resolved mention → (doc_id, rdfa).
 
     One join to attach per-doc mention arrays (collect_list of structs),
-    then an Arrow pass builds the markup string. Non-overlapping spans
-    are guaranteed by the longest-match filter (B10)."""
+    then an Arrow pass builds the markup string. B10 removes CONTAINED
+    spans but partially-overlapping spans can survive it; well-formed
+    markup cannot represent a partial overlap, so the builder keeps the
+    earlier span and drops the overlapping one (greedy left-to-right),
+    the same choice every inline-annotation serializer makes."""
     from pyspark.sql import functions as _F
 
     spans = (
@@ -140,11 +143,15 @@ def rdfa_serialize(docs_with_id: DataFrame, resolved: DataFrame, kb: KB) -> Data
                 last_end = -1
                 for row in sp:
                     b, e = int(row["begin"]), int(row["end"])
-                    if b < last_end:  # nested duplicate span (same range, 2 subjects)
+                    # overlapping span (same-range duplicate or partial
+                    # overlap): keep the earlier one, drop this
+                    if b < last_end:
                         continue
                     parts.append(html.escape(text[pos:b]))
+                    about = html.escape(row["subj_uri"], quote=True)
+                    prop = html.escape(row["prop_uri"], quote=True)
                     parts.append(
-                        f'<span about="{row["subj_uri"]}" property="{row["prop_uri"]}">'
+                        f'<span about="{about}" property="{prop}">'
                         f"{html.escape(text[b:e])}</span>"
                     )
                     pos = e

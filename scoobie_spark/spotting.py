@@ -79,10 +79,6 @@ def join_gazetteer(candidates: DataFrame, gazetteer: DataFrame) -> DataFrame:
     )
 
 
-def _is_word(ch: str) -> bool:
-    return ch.isalnum() or ch == "_"
-
-
 def _filter_batch(pdf: pd.DataFrame, drop_suffix: bool = True) -> pd.DataFrame:
     """Batch-vectorized B10-B12 over many complete documents at once
     (rows pre-sorted by doc_id, begin asc, end desc, prop_id, lit_id —

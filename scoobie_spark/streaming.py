@@ -35,10 +35,13 @@ def streaming_extract(
     trigger_seconds: int | None = None,
 ):
     """Run the KG-construction pipeline continuously over a streaming
-    corpus; returns the StreamingQuery. Triples append to
-    ``out_dir`` partitioned by graph; restart-safe via the streaming
-    checkpoint (per-batch idempotence comes from foreachBatch's batch_id
-    contract)."""
+    corpus; returns the StreamingQuery. Triples land in ``out_dir``
+    partitioned by (batch_id, graph); restart-safe: foreachBatch may
+    REPLAY a batch whose write finished but whose offset commit did
+    not, so the write is a dynamic partition OVERWRITE of that batch's
+    own partitions — a replayed batch rewrites exactly its previous
+    output instead of appending duplicates (the idempotence the
+    batch_id contract requires of the sink)."""
     kb = kb.materialize()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -48,8 +51,9 @@ def streaming_extract(
         triples = extract_triples(spark, batch_df, kb, cfg)
         (
             triples.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("graph")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "graph")
             .parquet(out_dir)
         )
 
