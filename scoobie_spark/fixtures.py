@@ -184,8 +184,10 @@ def synth_kb_rows(n_instances: int):
         else:
             label = _label_for(i)
         sym_triples.append((uri, RDFS_LABEL, label))
-        # ring + skip links; ambiguous instances get fewer links than their
-        # label-twin so the degree resolver has a deterministic winner
+        # ring + skip links; twin degrees differ only via INCOMING edges
+        # (the doc-graph anchor guard admits only backward edges into
+        # ambiguous subjects), and ties fall to the min-id tie-break —
+        # resolution is deterministic either way
         nbr = (i + 1) % n_instances
         res_triples.append((uri, EX_ONT + _REL_PREDS[i % len(_REL_PREDS)], f"{EX_INST}inst_{nbr}"))
         if i % 3 == 0:
@@ -331,9 +333,16 @@ def synth_corpus(
         # KB-size docs, mostly mention-free text)
         F.repeat(F.substring(F.col("text"), 1, 200), filler_repeat),
         F.when(F.pmod(k, 7) == 0, F.lower(F.col("label1"))).otherwise(F.lit("")),
-        F.when(F.pmod(k, 11) == 0, F.split(F.col("label3"), " ").getItem(0)).otherwise(
-            F.coalesce(F.col("label3"), F.lit(""))
-        ),
+        # every 11th doc plants ONLY a one-word prefix (longest-match
+        # signal); label3 is null for 80% of docs, so fall back to an
+        # always-present label — otherwise the signal fired only at
+        # k % 55 == 0
+        F.when(
+            F.pmod(k, 11) == 0,
+            F.split(
+                F.coalesce(F.col("label3"), F.col("label2"), F.col("label1")), " "
+            ).getItem(0),
+        ).otherwise(F.coalesce(F.col("label3"), F.lit(""))),
     )
 
     out = planted.select(

@@ -44,21 +44,28 @@ class KB:
         return self.uri_id(RDF_TYPE)
 
     def gazetteer(self) -> DataFrame:
-        """The spotting dictionary: DISTINCT (lit_id, prop_id, belief,
-        literal, prefix) — reference ``PostgresKB.getDatatypePropertyValues``
-        (PostgresKB.java:160-208) without the per-document prefix filter;
-        corpus-wide spotting applies the prefix semi-join on the document
-        side instead (strictly less work than N per-doc queries)."""
+        """The spotting dictionary: one row per (lit_id, prop_id) with
+        the MAX belief over subjects — reference
+        ``PostgresKB.getDatatypePropertyValues`` (PostgresKB.java:160-208)
+        without the per-document prefix filter; corpus-wide spotting
+        applies the prefix semi-join on the document side instead
+        (strictly less work than N per-doc queries).
+
+        Aggregating belief (instead of DISTINCT over it) keeps the
+        dictionary one-row-per-entry when different subjects assert the
+        same (p, literal) with different beliefs — span-level belief is
+        a spotting confidence; the per-SUBJECT belief rejoins from
+        ``symbols`` at instance-resolution time."""
         return (
             self.symbols.join(self.literals.withColumnRenamed("id", "lit"), "lit")
-            .select(
+            .groupBy(
                 F.col("lit").alias("lit_id"),
                 F.col("p").alias("prop_id"),
-                "belief",
                 "literal",
                 "prefix",
             )
-            .distinct()
+            .agg(F.max("belief").alias("belief"))
+            .select("lit_id", "prop_id", "belief", "literal", "prefix")
         )
 
     def cache(self) -> "KB":

@@ -53,11 +53,18 @@ _CAND_COLS = [
 
 def resolve_instances(mentions: DataFrame, kb: KB) -> DataFrame:
     """B15: mention × symbols equi-join on (prop_id, lit_id) → candidate
-    subjects (possibly several per mention — that's the ambiguity)."""
-    sym = kb.symbols.select(
-        F.col("p").alias("prop_id"), F.col("lit").alias("lit_id"), F.col("s").alias("subject")
-    ).distinct()
-    return mentions.join(sym, ["prop_id", "lit_id"])
+    subjects (possibly several per mention — that's the ambiguity).
+    The candidate's ``belief`` is the per-SUBJECT symbol belief, not the
+    span's gazetteer confidence (which is the max over subjects)."""
+    sym = (
+        kb.symbols.groupBy(
+            F.col("p").alias("prop_id"),
+            F.col("lit").alias("lit_id"),
+            F.col("s").alias("subject"),
+        )
+        .agg(F.max("belief").alias("belief"))
+    )
+    return mentions.drop("belief").join(sym, ["prop_id", "lit_id"])
 
 
 def subject_types(candidates: DataFrame, kb: KB) -> DataFrame:
@@ -135,8 +142,29 @@ def literal_edges(candidates: DataFrame) -> DataFrame:
 
 def components(edges: DataFrame) -> DataFrame:
     """B17: weak CC per document (JUNG WeakComponentClusterer,
-    EntityDisambiguation.java:370-374) → (doc_id, node, component)."""
-    return edges.groupBy("doc_id").applyInPandas(_components_per_doc, _COMP_SCHEMA)
+    EntityDisambiguation.java:370-374) → (doc_id, node, component).
+    Batched via :func:`grouped.grouped_apply` — one Arrow batch holds
+    MANY complete documents, avoiding the per-tiny-group Arrow tax of
+    plain ``groupBy().applyInPandas`` (grouped.py header numbers)."""
+    from .grouped import grouped_apply
+
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": [], "node": [], "component": []})
+        import numpy as np
+
+        doc = pdf["doc_id"].values
+        bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1], True])
+        frames = [
+            _components_per_doc(pdf.iloc[bounds[k]:bounds[k + 1]])
+            for k in range(len(bounds) - 1)
+        ]
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+
+    return grouped_apply(
+        edges.select("doc_id", "src", "dst"), "doc_id", batch, _COMP_SCHEMA,
+        batch_mode=True,
+    )
 
 
 def _resolve_one(
@@ -522,11 +550,14 @@ def spot_resolve(
     raw = join_gazetteer(
         candidates_raw, gazetteer if gazetteer is not None else kb.gazetteer()
     )
-    sym = kb.symbols.select(
-        F.col("p").alias("prop_id"), F.col("lit").alias("lit_id"),
-        F.col("s").alias("subject"),
-    ).distinct()
-    cand_subj = raw.join(sym, ["prop_id", "lit_id"])
+    sym = (
+        kb.symbols.groupBy(
+            F.col("p").alias("prop_id"), F.col("lit").alias("lit_id"),
+            F.col("s").alias("subject"),
+        )
+        .agg(F.max("belief").alias("belief"))
+    )
+    cand_subj = raw.drop("belief").join(sym, ["prop_id", "lit_id"])
     if subject_filter is not None:  # SPARQL-template rdf:type pushdown (O1)
         cand_subj = cand_subj.join(subject_filter, "subject", "left_semi")
     tagged = cand_subj.withColumn("__resolver", F.lit(resolver))
@@ -594,23 +625,14 @@ def disambiguate(candidates: DataFrame, kb: KB, resolver: str = "degree") -> Dat
 
 def known_type_cluster(candidates: DataFrame, kb: KB, clusters: DataFrame) -> DataFrame:
     """Majority type cluster per candidate subject — the batch form of
-    ``PostgresKB.getCluster`` (PostgresKB.java:807-850): the cluster
-    covering the most of the subject's rdf:types wins (the reference's
-    ``max < c`` compares the running max against the cluster *id*, an
-    evident typo for the coverage count; we implement the intent, with
-    min-cluster-id tie-break for determinism) → (subject, kcluster)."""
-    st = subject_types(candidates, kb)  # (subject, type_id)
-    cover = (
-        st.join(F.broadcast(clusters), st.type_id == clusters.type)
-        .groupBy("subject", "cluster")
-        .agg(F.count("*").alias("n"))
-    )
-    w = Window.partitionBy("subject").orderBy(F.desc("n"), F.asc("cluster"))
-    return (
-        cover.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("subject", F.col("cluster").alias("kcluster"))
-    )
+    ``PostgresKB.getCluster`` (PostgresKB.java:807-850), delegating to
+    :func:`scoobie_spark.facts.majority_cluster` (one implementation of
+    the vote + min-cluster-id tie-break) → (subject, kcluster)."""
+    from .facts import majority_cluster
+
+    return majority_cluster(
+        candidates.select("subject").distinct(), kb, clusters
+    ).withColumnRenamed("cluster", "kcluster")
 
 
 def disambiguate_classification(
@@ -675,13 +697,29 @@ def disambiguate_classification(
     return candidates.join(losers, ["doc_id", "subject"], "left_anti")
 
 
-def canonicalize_by_label(kb: KB, threshold: float = 0.8, n: int = 2) -> DataFrame:
+RDFS_LABEL_URI = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+def canonicalize_by_label(
+    kb: KB,
+    threshold: float = 0.8,
+    n: int = 2,
+    label_props: list[int] | None = None,
+) -> DataFrame:
     """URI canonicalization, min-hash half (north_rule: "canonicalize
-    URIs via min-hash/sorted-key union-find"): subjects whose label
+    URIs via min-hash/sorted-key union-find"): subjects whose LABEL
     literals are MinHash-LSH near-duplicates (word n-gram Jaccard ≥
     threshold) collapse into one canonical id via the distributed
-    union-find (:func:`scoobie_spark.graph.connected_components` —
-    min-label propagation IS union-find in dataflow form).
+    star-contraction components.
+
+    ``label_props`` restricts which datatype properties count as labels;
+    by default the rdfs:label property id is auto-detected. This filter
+    is load-bearing: matching over ALL datatype values would fuse
+    unrelated subjects that merely share a birthdate/number/common
+    string, and components would chain-merge whole groups. If the KB
+    has no rdfs:label at all, every datatype property is used (the
+    pre-round-2 behavior) — callers with such KBs should pass their
+    naming properties explicitly.
 
     Returns (subject, canonical_id); subjects with no near-dup twin map
     to themselves. Compose with :func:`canonical_uri_map` (the
@@ -689,8 +727,14 @@ def canonicalize_by_label(kb: KB, threshold: float = 0.8, n: int = 2) -> DataFra
     from .extras.dedup import minhash_lsh_pairs
     from .graph import connected_components
 
+    if label_props is None:
+        lbl = kb.uri_id(RDFS_LABEL_URI)
+        label_props = [lbl] if lbl is not None else None
+    sym = kb.symbols
+    if label_props:
+        sym = sym.filter(F.col("p").isin(*label_props))
     labels = (
-        kb.symbols.join(kb.literals.withColumnRenamed("id", "lit"), "lit")
+        sym.join(kb.literals.withColumnRenamed("id", "lit"), "lit")
         .select(F.col("s").alias("doc_id"), F.col("literal").alias("text"))
         .distinct()
     )
@@ -732,14 +776,23 @@ def apply_canonical_map(triples: DataFrame, canon: DataFrame, resources: DataFra
 
 def canonical_uri_map(resources: DataFrame) -> DataFrame:
     """URI canonicalization (north_rule: sorted-key union-find): URIs that
-    normalize identically (case-insensitive authority, http≡https, no
-    trailing slash) map to the min resource id of their group. Single
+    normalize identically (case-insensitive scheme+authority, http≡https,
+    no trailing slash) map to the min resource id of their group. Single
     groupBy — the sorted-key trick makes multi-hop union-find unnecessary
-    because the normalized key IS the component key."""
-    norm = F.regexp_replace(
+    because the normalized key IS the component key.
+
+    Only the scheme and authority lowercase (RFC 3986 §6.2.2.1): URI
+    *paths* are case-sensitive and real KBs distinguish
+    ``.../resource/Apple`` from ``.../resource/APPLE``."""
+    no_slash = F.regexp_replace(
         F.regexp_replace(F.col("uri"), r"^https://", "http://"), r"/+$", ""
     )
-    keyed = resources.withColumn("ckey", F.lower(norm))
+    auth = F.regexp_extract(no_slash, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)", 1)
+    rest = F.regexp_replace(no_slash, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", "")
+    keyed = resources.withColumn(
+        "ckey",
+        F.when(auth != "", F.concat(F.lower(auth), rest)).otherwise(no_slash),
+    )
     w = Window.partitionBy("ckey")
     return keyed.withColumn("canonical_id", F.min("id").over(w)).select(
         "id", "uri", "canonical_id"

@@ -187,15 +187,19 @@ def extract_triples(
     # ONE dictionary-scale job yields both the distinct prefix set and
     # max(len(literal)); the latter caps emitted suffixes at
     # max_lit + 1 (the +1 feeds the B12 tiling probe) — shrinking every
-    # candidate row shipped through the spot join
-    pref_rows = (
-        kb.literals.groupBy("prefix")
-        .agg(F.max(F.length("literal")).alias("ml"))
-        .collect()
-    )
-    kb_prefixes = [r["prefix"] for r in pref_rows]
-    max_lit = max((r["ml"] for r in pref_rows), default=0)
-    suffix_cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
+    # candidate row shipped through the spot join. Skipped entirely when
+    # the candidates checkpoint will be reused (resume path).
+    if _stage_done(cfg, "candidates"):
+        kb_prefixes, suffix_cap = [], textproc.MAX_SUFFIX_LEN
+    else:
+        pref_rows = (
+            kb.literals.groupBy("prefix")
+            .agg(F.max(F.length("literal")).alias("ml"))
+            .collect()
+        )
+        kb_prefixes = [r["prefix"] for r in pref_rows]
+        max_lit = max((r["ml"] for r in pref_rows), default=0)
+        suffix_cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
     candidates = _stage(
         cfg,
         "candidates",

@@ -135,6 +135,7 @@ def suffix_candidates(
     spot join — often the pipeline's largest byte volume.
     """
     prefix_arr = np.asarray(sorted(set(int(p) for p in kb_prefixes)), dtype=np.int64)
+    prefix_set = set(prefix_arr.tolist())  # O(1) probes for the slow path
 
     sha_cols = ["sha256"] if check_sha256 and "sha256" in docs.columns else []
     cols = docs.select("doc_id", "content", *sha_cols)
@@ -239,11 +240,11 @@ def suffix_candidates(
                     continue
                 pref = joined[a : min(a + 4, int(doc_end[d]))]
                 hl, ho = java_hash_prefix_py(pref.lower()), java_hash_prefix_py(pref)
-                if np.isin(hl, prefix_arr):
+                if hl in prefix_set:
                     s_start.append(a)
                     s_hash.append(hl)
                     s_didx.append(d)
-                if ho != hl and np.isin(ho, prefix_arr):
+                if ho != hl and ho in prefix_set:
                     s_start.append(a)
                     s_hash.append(ho)
                     s_didx.append(d)

@@ -51,15 +51,19 @@ def test_canonicalize_by_label_minhash(spark):
 def test_canonical_uri_map_sorted_key(spark):
     resources = spark.createDataFrame(
         [
-            (0, "http://Ex.org/Thing/"),
+            (0, "http://Ex.org/thing/"),
             (1, "https://ex.org/thing"),
             (2, "http://ex.org/other"),
+            # RFC 3986: paths are case-SENSITIVE — only scheme/authority
+            # case collapses
+            (3, "http://ex.org/THING"),
         ],
         "id long, uri string",
     )
     got = {r["id"]: r["canonical_id"] for r in canonical_uri_map(resources).collect()}
-    assert got[0] == got[1] == 0  # scheme/case/trailing-slash variants collapse
+    assert got[0] == got[1] == 0  # scheme/authority-case/trailing-slash collapse
     assert got[2] == 2
+    assert got[3] == 3  # path case preserved
 
 
 def test_apply_canonical_map(spark):
