@@ -289,3 +289,49 @@ def test_classification_resolver_abstains_without_predictions(spark):
     )
     kept = {r["subject"] for r in resolved.collect()}
     assert kept == {amb_p, amb_l}
+
+
+def test_per_subject_belief_survives_resolution(spark):
+    """Candidates carry the per-SUBJECT symbol belief, not the span's
+    gazetteer max — and the result is deterministic when two subjects
+    assert the same literal with different beliefs."""
+    from scoobie_spark import linking, textproc
+    from scoobie_spark.spotting import spot
+
+    uris = sorted([RDF_TYPE, LABEL, EX + "s1", EX + "s2", EX + "ont/T"])
+    uid = {u: i for i, u in enumerate(uris)}
+    lits = ["Shared Name"]
+    kb = KB(
+        resources=spark.createDataFrame(list(enumerate(uris)), "id long, uri string"),
+        literals=spark.createDataFrame(
+            [(0, "Shared Name", java_hash_prefix_py("shared name"))],
+            "id long, literal string, prefix int",
+        ),
+        relations=spark.createDataFrame(
+            [(uid[EX + "s1"], uid[RDF_TYPE], uid[EX + "ont/T"]),
+             (uid[EX + "s2"], uid[RDF_TYPE], uid[EX + "ont/T"])],
+            "s long, p long, o long",
+        ),
+        symbols=spark.createDataFrame(
+            [(uid[EX + "s1"], uid[LABEL], 0, 0.9),
+             (uid[EX + "s2"], uid[LABEL], 0, 0.4)],
+            "s long, p long, lit long, belief double",
+        ),
+    )
+    # gazetteer: ONE row per (lit, prop) with the max belief
+    gaz = kb.gazetteer().collect()
+    assert len(gaz) == 1 and gaz[0]["belief"] == 0.9
+
+    import hashlib
+
+    text = "Shared Name appeared."
+    docs = textproc.with_doc_id(spark.createDataFrame(
+        [("r", "d.txt", "c", "en", text, hashlib.sha256(text.encode()).hexdigest())],
+        "repo string, path string, commit string, lang string, content string, sha256 string",
+    ))
+    prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    cand = linking.resolve_instances(
+        spot(textproc.suffix_candidates(docs, prefixes), kb.gazetteer()), kb
+    )
+    beliefs = {r["subject"]: r["belief"] for r in cand.collect()}
+    assert beliefs == {uid[EX + "s1"]: 0.9, uid[EX + "s2"]: 0.4}
