@@ -39,8 +39,14 @@ from pyspark.sql import functions as F
 def exact_duplicates(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """(doc_id, keeper_id, content_hash): every row whose text appeared
     before (keeper = min key per sha256 group). Rows where
-    doc_id == keeper_id are the survivors."""
-    h = F.sha2(F.col(text), 256).alias("content_hash")
+    doc_id == keeper_id are the survivors. NULL texts are NOT
+    duplicates of each other — each maps to itself (sha2(NULL) is NULL
+    and a window would cluster every failed-fetch row under one
+    keeper)."""
+    h = F.when(
+        F.col(text).isNull(),
+        F.concat(F.lit("__null__"), F.col(key).cast("string")),
+    ).otherwise(F.sha2(F.col(text), 256)).alias("content_hash")
     w = Window.partitionBy("content_hash")
     return (
         docs.select(F.col(key).alias("doc_id"), h)
@@ -226,7 +232,8 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
         bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in batches:
             out_id, out_sh = [], []
-            for doc_id, t in zip(pdf["doc_id"].values, pdf["text"].values):
+            texts = pdf["text"].fillna("")  # null text ≡ empty doc
+            for doc_id, t in zip(pdf["doc_id"].values, texts.values):
                 toks = t.lower().split()
                 if not toks:
                     out_id.append(doc_id)
@@ -237,7 +244,6 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
                 )
                 bits = ((hs[:, None] & bitmask[None, :]) != 0).astype(np.int32)
                 votes = (2 * bits - 1).sum(axis=0)
-                sh = np.uint64(0)
                 sh = (bitmask[votes > 0]).sum(dtype=np.uint64)
                 out_id.append(doc_id)
                 out_sh.append(np.int64(sh.astype(np.uint64).view(np.int64)))
@@ -259,9 +265,22 @@ def _fnv1a64(s: str) -> np.uint64:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """(a, b, hamming ≤ max_hamming) via 16-bit band buckets: two hashes
-    within Hamming 3 agree on ≥1 of 4 bands (pigeonhole), so the bucket
-    join finds all such pairs without n²."""
+    """(a, b, hamming ≤ max_hamming) via bit-band buckets: with
+    ``max_hamming + 1`` bands, two hashes within the Hamming budget
+    must agree on ≥1 whole band (pigeonhole), so the bucket join finds
+    every such pair without n². Band count adapts to ``max_hamming``
+    (the fixed 4×16-bit layout was only sound for ≤3)."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    width = 64 // n_bands
+    # band i covers bits [i*width, (i+1)*width); the last band absorbs
+    # the remainder bits so all 64 participate
+    def band_expr(i: int):
+        w = width + (64 - width * n_bands if i == n_bands - 1 else 0)
+        mask = (1 << w) - 1
+        return F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+
     sig = simhash(docs, **kw).cache()
     bands = sig.select(
         "doc_id",
@@ -269,11 +288,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(i).alias("band"), band_expr(i).alias("bucket"))
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -285,8 +301,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         l.join(r, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", hamming.alias("hamming"))
-        .distinct()
+        # hamming is deterministic per pair: filter BEFORE the dedup so
+        # spurious one-band collisions never ride the distinct shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -103,7 +103,9 @@ def assign_cells(df: DataFrame, cents: np.ndarray, key: str, vec: str) -> DataFr
             yield pd.DataFrame({"id": pdf["id"].values, "cell": cell, "v": pdf["v"].values})
 
     cols = df.select(F.col(key).alias("id"), F.col(vec).alias("v"))
-    return cols.mapInPandas(gen, "id long, cell int, v array<float>")
+    # vectors pass through as DOUBLE so the final re-rank truly is
+    # exact-precision (only the cell-assignment math runs in f32)
+    return cols.mapInPandas(gen, "id long, cell int, v array<double>")
 
 
 def ivf_topk(
@@ -143,7 +145,7 @@ def ivf_topk(
                  "qv": pd.Series(v, dtype="object")}
             )
 
-    probes = qrows.mapInPandas(probe, "query_id long, cell int, qv array<float>")
+    probes = qrows.mapInPandas(probe, "query_id long, cell int, qv array<double>")
 
     scored = indexed.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -76,11 +76,17 @@ def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
     'und' when nothing votes."""
     cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
 
+    import re
+
+    # ASCII \s+ tokenization ≡ the DuckDB oracle's RE2 split (plain
+    # str.split also breaks on unicode whitespace, which RE2 does not)
+    ws_re = re.compile(r"\s+", re.ASCII)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             langs = []
-            for t in pdf["text"].values:
-                toks = set(t.lower().split())
+            for t in pdf["text"].fillna("").values:
+                toks = set(ws_re.split(t.lower()))
                 best, best_n = "und", 0
                 for lang, sw in _STOPWORDS.items():
                     n = len(toks & sw)
@@ -119,7 +125,7 @@ def fingerprints(
         for pdf in batches:
             if not len(pdf):
                 continue
-            texts = pdf["text"].str.lower()
+            texts = pdf["text"].fillna("").str.lower()
             slow = texts.str.contains(_UNICODE_WS, regex=True, na=False).to_numpy()
 
             # ---- byte-level tokenization, zero per-token Python ------

@@ -342,9 +342,9 @@ def q_b3_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 SQL_B3 = r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+            ELSE length(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS ws_tokens,
        CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g')) / 4.0)
-            + length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS bpe_tokens
+            + length(regexp_replace(text, '[\w \t\n\r\f\v]', '', 'g')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 
@@ -379,7 +379,11 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = """
-SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id FROM documents
+SELECT doc_id,
+       min(doc_id) OVER (
+         PARTITION BY coalesce(text, '__null__' || doc_id)
+       ) AS keeper_id
+FROM documents
 """
 
 
@@ -403,7 +407,7 @@ SQL_QUALITY = rf"""
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              ELSE length(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_tokens
   FROM documents
 )
 SELECT doc_id,
@@ -415,10 +419,10 @@ SELECT doc_id,
              / greatest(length(text), 1), 6) AS digit_ratio,
        round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g')) * 1.0
              / greatest(length(text), 1), 6) AS punct_ratio,
-       round(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+       round(len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\v]+'),
                              x -> list_contains([{_SW}], x))) * 1.0
              / greatest(n_tokens, 1), 6) AS stopword_ratio,
-       round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+       round(length(regexp_replace(text, '[ \t\n\r\f\v]+', '', 'g')) * 1.0
              / greatest(n_tokens, 1), 6) AS mean_token_len
 FROM t
 """
@@ -828,12 +832,15 @@ def q_dedup_embedding_exact(spark: SparkSession, sf: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+    # filter on the RAW cosine, round only for display — the same order
+    # the LSH path uses, so borderline pairs cannot differ between the
+    # exact baseline and the bucketed path by rounding alone
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4))
-        .filter(F.col("cosine") >= 0.35)
-        .select("a", "b", "cosine")
+        .withColumn("raw", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("raw") >= 0.35)
+        .select("a", "b", F.round("raw", 4).alias("cosine"))
     )
 
 
@@ -842,7 +849,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(x.v, y.v), 4) AS cosine
 FROM e x JOIN e y ON x.vec_id < y.vec_id
-WHERE round(list_cosine_similarity(x.v, y.v), 4) >= 0.35
+WHERE list_cosine_similarity(x.v, y.v) >= 0.35
 """
 
 
@@ -866,7 +873,7 @@ def _lang_sql() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+         list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\v]+')) AS toks
   FROM documents
 ), v AS (SELECT doc_id, {votes} FROM t)
 SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_guess FROM v
