@@ -112,3 +112,30 @@ def test_checkpoint_resume(spark, tmp_path):
     rows3 = {tuple(r) for r in t3.select("graph", "subj", "pred", "obj").collect()}
     assert rows3 == rows1
     assert os.path.getmtime(marker) == mtime1  # earlier stage still reused
+
+
+def test_partition_lineage_opt_in(spark, tmp_path):
+    """north_rule per-partition lineage: with partition_lineage=True the
+    metrics log carries per-partition row counts + skew stats; the
+    default run writes only stage/wall records (no extra scans)."""
+    import json
+
+    docs = micro_docs(spark)
+    kb = micro_kb(spark)
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path), partition_lineage=True)
+    extract_triples(spark, docs, kb, cfg).collect()
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("partition_rows" in rec for rec in lines)
+    staged = [r for r in lines if "partition_skew" in r]
+    assert staged
+    for r in staged:
+        assert r["rows"] == sum(
+            next(
+                x["partition_rows"]
+                for x in lines
+                if x.get("stage") == r["stage"] and "partition_rows" in x
+            ).values()
+        )
