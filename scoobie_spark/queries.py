@@ -124,8 +124,9 @@ SQL_A12 = """
 WITH g AS (
   SELECT l_suppkey, l_returnflag, count(*) AS c FROM lineitem GROUP BY 1, 2
 )
-SELECT l_returnflag, count(*) AS n_subjects, sum(c) AS n_triples,
-       (sum(c) * 1000000) // count(*) AS ratio_micro
+SELECT l_returnflag, count(*) AS n_subjects,
+       CAST(sum(c) AS BIGINT) AS n_triples,
+       CAST((sum(c) * 1000000) // count(*) AS BIGINT) AS ratio_micro
 FROM g GROUP BY 1
 """
 
@@ -453,7 +454,8 @@ WITH x AS (
               THEN 1 ELSE 0 END AS new_s
   FROM events
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM x GROUP BY user_id
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM x GROUP BY user_id
 """
 
 
