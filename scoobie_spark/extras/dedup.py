@@ -229,35 +229,72 @@ def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFra
     cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in batches:
-            out_id, out_sh = [], []
             texts = pdf["text"].fillna("")  # null text ≡ empty doc
-            for doc_id, t in zip(pdf["doc_id"].values, texts.values):
-                toks = t.lower().split()
-                if not toks:
-                    out_id.append(doc_id)
-                    out_sh.append(0)
-                    continue
-                hs = np.array(
-                    [_fnv1a64(tok) for tok in set(toks)], dtype=np.uint64
-                )
-                bits = ((hs[:, None] & bitmask[None, :]) != 0).astype(np.int32)
-                votes = (2 * bits - 1).sum(axis=0)
-                sh = (bitmask[votes > 0]).sum(dtype=np.uint64)
-                out_id.append(doc_id)
-                out_sh.append(np.int64(sh.astype(np.uint64).view(np.int64)))
+            out = np.zeros(len(pdf), dtype=np.int64)
+            # 256-doc chunks keep the (tokens × 64) vote temporaries
+            # cache-resident (whole-batch numpy over 64k-doc Arrow
+            # batches measured 3× slower; see textproc.suffix_candidates)
+            for lo in range(0, len(pdf), 256):
+                out[lo : lo + 256] = _simhash_chunk(texts.values[lo : lo + 256])
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_id, dtype="int64"),
-                    "simhash": pd.Series(out_sh, dtype="int64"),
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "simhash": pd.Series(out, dtype="int64"),
                 }
             )
 
     return cols.mapInPandas(gen, _SIMHASH_SCHEMA)
 
 
+def _simhash_chunk(texts: np.ndarray) -> np.ndarray:
+    """Vectorized simhash for a chunk of documents, bit-identical to the
+    former per-token scalar loop: unique tokens per doc flatten into one
+    array, FNV-1a runs position-parallel over all of them
+    (:func:`_fnv1a64_many`), and the ±1 bit votes reduce per doc via a
+    cumulative-sum difference (reduceat misreads zero-length segments).
+    Empty docs hash to 0."""
+    n = len(texts)
+    toks: list[str] = []
+    seg = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        u = set(t.lower().split())
+        seg[i] = len(u)
+        toks.extend(u)
+    if not toks:
+        return np.zeros(n, dtype=np.int64)
+    hs = _fnv1a64_many(toks)
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int32)
+    csum = np.zeros((len(toks) + 1, 64), dtype=np.int64)
+    np.cumsum(2 * bits - 1, axis=0, out=csum[1:])
+    ends = np.cumsum(seg)
+    votes = csum[ends] - csum[ends - seg]
+    bitmask = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return ((votes > 0) * bitmask[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+def _fnv1a64_many(tokens: list[str]) -> np.ndarray:
+    """FNV-1a-64 of every token at once: all tokens advance one byte per
+    numpy step (masked by remaining length), so the Python-level loop is
+    O(longest token), not O(total bytes). Identical output to
+    :func:`_fnv1a64`."""
+    bufs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bufs), count=len(bufs), dtype=np.int64)
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.cumsum(lens) - lens
+    h = np.full(len(bufs), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(int(lens.max(initial=0))):
+        active = lens > j
+        h[active] = (h[active] ^ cat[starts[active] + j].astype(np.uint64)) * prime
+    return h
+
+
 def _fnv1a64(s: str) -> np.uint64:
+    """Scalar FNV-1a-64 — the golden reference `_fnv1a64_many` is
+    differential-tested against (tests/test_extras.py)."""
     h = np.uint64(0xCBF29CE484222325)
     for bch in s.encode("utf-8"):
         h = np.uint64((int(h) ^ bch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
@@ -278,6 +315,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
     # the remainder bits so all 64 participate
     def band_expr(i: int):
         w = width + (64 - width * n_bands if i == n_bands - 1 else 0)
+        if w >= 64:
+            # max_hamming=0 → one 64-bit band: the full-width mask
+            # (1<<64)-1 does not fit a signed-long literal, and masking
+            # the whole column is the identity anyway
+            return F.col("simhash")
         mask = (1 << w) - 1
         return F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
 

@@ -97,9 +97,11 @@ def resize_stub(payload: bytes, width: int, height: int) -> bytes:
     Deterministic: re-samples the byte stream to ``width*height`` bytes
     by index mapping (nearest-neighbour over the 1-D stream), so the
     output length contract (payload size tracks target dims) and
-    determinism are testable without codecs."""
+    determinism are testable without codecs. A zero-byte payload maps
+    to an all-zero target-size payload — raising here would abort the
+    whole Arrow batch (and job) for one corrupt row."""
     if not payload:
-        raise ValueError("resize_stub: empty payload")
+        return b"\x00" * (width * height)
     arr = np.frombuffer(bytes(payload), dtype=np.uint8)
     idx = (np.arange(width * height) * len(arr) // (width * height)).clip(0, len(arr) - 1)
     return arr[idx].tobytes()
@@ -133,8 +135,10 @@ def audio_window_plan(
     """Audio windowing plan: (media_id, win_start_ms, win_end_ms) rows
     via JVM-side sequence/explode — the per-window decode/feature step
     consumes this plan in the same Arrow pass as extract_features
-    (overlapping windows when hop < window, standard STFT framing)."""
-    aud = media.filter(F.col("kind") == "audio")
+    (overlapping windows when hop < window, standard STFT framing).
+    Zero/negative/null durations yield zero windows (F.sequence raises
+    on an empty 0..-1 range rather than returning an empty array)."""
+    aud = media.filter((F.col("kind") == "audio") & (F.col("duration_ms") > 0))
     return aud.select(
         "media_id",
         F.explode(
@@ -153,8 +157,9 @@ def audio_window_plan(
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: (media_id, frame_ts_ms) rows via
     JVM-side sequence/explode — the decode of each frame would consume
-    this plan in the same Arrow pass as extract_features."""
-    vids = media.filter(F.col("kind") == "video")
+    this plan in the same Arrow pass as extract_features. Same
+    zero-duration guard as :func:`audio_window_plan`."""
+    vids = media.filter((F.col("kind") == "video") & (F.col("duration_ms") > 0))
     return vids.select(
         "media_id",
         F.explode(

@@ -69,9 +69,17 @@ def train_centroids(
     top-N, merged — parallel) so it does not depend on partition/task
     scheduling the way a bare ``limit`` does; ordering by the hashed
     ``key`` column is preferred (hashing the cast vector costs an extra
-    serialization pass)."""
+    serialization pass). The key-or-vector tie-break makes the order
+    total — two rows colliding on the hash at the sample boundary would
+    otherwise make the sampled set run-dependent."""
+    tie = F.col(key) if key else F.col(vec).cast("string")
     order = F.xxhash64(key) if key else F.xxhash64(F.col(vec).cast("string"))
-    rows = corpus.select(vec, order.alias("_o")).orderBy("_o").limit(sample).collect()
+    rows = (
+        corpus.select(vec, order.alias("_o"), tie.alias("_t"))
+        .orderBy("_o", "_t")
+        .limit(sample)
+        .collect()
+    )
     x = np.stack([np.asarray(r[0], dtype=np.float32) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
     rng = np.random.default_rng(seed)

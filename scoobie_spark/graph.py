@@ -164,9 +164,18 @@ def pagerank(edges: DataFrame, alpha: float = 0.1, max_iter: int = 15) -> DataFr
     return ranks
 
 
-def hits(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def hits(edges: DataFrame, max_iter: int = 10, checkpoint: bool = True) -> DataFrame:
     """HITS hubs/authorities (HubBasedResolver.java:43-86 et al.):
-    a = Σ_in h; h = Σ_out a; L2-normalized per iteration."""
+    a = Σ_in h; h = Σ_out a; L2-normalized per iteration.
+
+    The per-iteration L2 norms are scalar aggregates broadcast back
+    onto the score table — a ``sum() over (partition by lit(1))``
+    window here would funnel the whole node table through ONE partition
+    every iteration, the exact single-partition exchange this module
+    exists to avoid (this is the corpus-scale building block; per-doc
+    graphs use numpy in :mod:`linking`). ``checkpoint=False`` skips the
+    per-iteration lineage cuts so tests can audit the full plan; real
+    runs keep it on or the plan tree grows exponentially."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -185,21 +194,24 @@ def hits(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth_raw").alias("hub_raw"))
         )
-        scores = (
+        raw = (
             nodes.join(auth, "node", "left")
             .join(hub, "node", "left")
             .fillna(0.0)
-            .select(
-                "node",
-                (F.col("hub_raw") / F.sqrt(F.sum(F.col("hub_raw") ** 2).over(_wall()))).alias("hub"),
-                (F.col("auth_raw") / F.sqrt(F.sum(F.col("auth_raw") ** 2).over(_wall()))).alias("auth"),
-            )
-            .localCheckpoint()
         )
+        if checkpoint:
+            # consumed by both the norm agg and the normalize select —
+            # cut once so the two joins don't run twice per iteration
+            raw = raw.localCheckpoint()
+        norms = raw.agg(
+            F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("_hub_norm"),
+            F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("_auth_norm"),
+        )
+        scores = raw.crossJoin(F.broadcast(norms)).select(
+            "node",
+            (F.col("hub_raw") / F.col("_hub_norm")).alias("hub"),
+            (F.col("auth_raw") / F.col("_auth_norm")).alias("auth"),
+        )
+        if checkpoint:
+            scores = scores.localCheckpoint()
     return scores
-
-
-def _wall():
-    from pyspark.sql import Window
-
-    return Window.partitionBy(F.lit(1))

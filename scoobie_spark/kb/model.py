@@ -27,6 +27,11 @@ class KB:
     relations: DataFrame  # (s long, p long, o long)
     symbols: DataFrame    # (s long, p long, lit long, belief double)
     _uri_ids: dict = field(default_factory=dict, repr=False)
+    # memoized sc.broadcast handles for linking.kb_adjacency_broadcast,
+    # keyed by (max_rows, max_bytes) — one ~64MB torrent per KB lifetime
+    # instead of one per extract_triples call (streaming foreachBatch
+    # used to re-ship it every micro-batch)
+    _adj_bc: dict = field(default_factory=dict, repr=False)
 
     def uri_id(self, uri: str) -> int | None:
         """Dictionary point-lookup (reference PostgresKB.getUriIndex:352-368).

@@ -525,6 +525,28 @@ def kb_adjacency(
     return {k: tuple(v) for k, v in adj.items()}
 
 
+def kb_adjacency_broadcast(
+    kb: KB, max_rows: int | None = 240_000, max_bytes: int = 64 << 20
+):
+    """Broadcast handle for :func:`kb_adjacency`, memoized on the KB.
+
+    ``spot_resolve`` accepts either a plain dict (it wraps one ad hoc)
+    or a Broadcast handle; callers that run the pipeline repeatedly over
+    the same KB — streaming's per-micro-batch ``extract_triples`` above
+    all — must pass the handle, or each call ships the blob again and
+    leaves reclamation to the driver GC/ContextCleaner. Returns None
+    when the KB graph exceeds the caps (edge-join fallback)."""
+    cache_key = (max_rows, max_bytes)
+    if cache_key not in kb._adj_bc:
+        adj = kb_adjacency(kb, max_rows, max_bytes)
+        kb._adj_bc[cache_key] = (
+            None
+            if adj is None
+            else kb.relations.sparkSession.sparkContext.broadcast(adj)
+        )
+    return kb._adj_bc[cache_key]
+
+
 def spot_resolve(
     candidates_raw: DataFrame,
     kb: KB,

@@ -245,9 +245,11 @@ def extract_triples(
         # ONE doc_id shuffle + ONE Arrow pass for span filters +
         # disambiguation (gazetteer/symbols joins stay narrow upstream).
         # The adjacency build is eager driver work — skip it when the
-        # resolved checkpoint already exists and will be reused.
+        # resolved checkpoint already exists and will be reused. The
+        # broadcast handle is memoized on the KB so repeated calls over
+        # the same KB (streaming micro-batches) ship the blob once.
         adjacency = (
-            linking.kb_adjacency(kb, cfg.adjacency_max_rows)
+            linking.kb_adjacency_broadcast(kb, cfg.adjacency_max_rows)
             if cfg.adjacency_max_rows and not _stage_done(cfg, "resolved")
             else None
         )

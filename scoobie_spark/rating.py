@@ -137,14 +137,20 @@ def _rank_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def graph_rank_scores(resolved: DataFrame, kb: KB) -> DataFrame:
     """authority / hub / pagerank per (doc, subject) over the doc graph
-    (AuthorityBasedRating / HubBasedRating / PageRankBasedRating) —
-    one applyInPandas over per-doc edge groups."""
+    (AuthorityBasedRating / HubBasedRating / PageRankBasedRating).
+
+    Runs through :func:`grouped.grouped_apply` — one doc_id shuffle and
+    per-BATCH Arrow transfer — not ``groupBy().applyInPandas``, whose
+    per-tiny-group Arrow round trip dominates at millions of small doc
+    graphs (grouped.py header: 26s for 5k two-row groups)."""
+    from .grouped import grouped_apply
+
     lit_e = literal_edges(resolved).select("doc_id", "src", "dst")
     fact_e = known_facts(resolved, kb).select(
         "doc_id", F.col("s").alias("src"), F.col("o").alias("dst")
     )
     edges = lit_e.unionByName(fact_e)
-    return edges.groupBy("doc_id").applyInPandas(_rank_one_doc, _RANK_SCHEMA)
+    return grouped_apply(edges, "doc_id", _rank_one_doc, _RANK_SCHEMA)
 
 
 def random_score_col() -> F.Column:

@@ -203,3 +203,55 @@ def test_multimodal_resize_and_audio_windows(spark):
     for starts in by_media.values():
         starts.sort()
         assert all(b - a == 500 for a, b in zip(starts, starts[1:]))  # hop
+
+
+def test_fnv1a64_many_matches_scalar():
+    """Position-parallel FNV must be bit-identical to the scalar loop
+    (unicode, single chars, long tokens)."""
+    toks = [
+        "the", "a", "Überraschung", "naïve", "café",
+        "x" * 200, "Ωμέγα", "zorro", "1234567890",
+    ]
+    got = dedup._fnv1a64_many(toks)
+    for t, h in zip(toks, got):
+        assert np.uint64(h) == dedup._fnv1a64(t), t
+
+
+def test_simhash_hamming_zero(spark, docs):
+    """max_hamming=0 (one 64-bit band) must run and find exactly the
+    exact-fingerprint duplicates — it used to die building a 64-bit
+    band mask literal."""
+    pairs = {(r["a"], r["b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=0).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (0, 2) not in pairs
+
+
+def test_media_plans_zero_duration(spark):
+    """A duration_ms == 0 (or null) row yields zero windows/frames for
+    that row instead of killing the job (F.sequence(0, -1, hop) raises)."""
+    rows = [
+        (0, "audio", "application/x-fake-audio", bytearray(b"abc"), None, None, 0),
+        (1, "audio", "application/x-fake-audio", bytearray(b"abc"), None, None, 2000),
+        (2, "video", "application/x-fake-video", bytearray(b"abc"), None, None, 0),
+        (3, "video", "application/x-fake-video", bytearray(b"abc"), None, None, 1500),
+        (4, "audio", "application/x-fake-audio", bytearray(b"abc"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    wins = multimodal.audio_window_plan(media, window_ms=1000, hop_ms=500).collect()
+    assert {w["media_id"] for w in wins} == {1}
+    frames = multimodal.frame_sample_plan(media, every_ms=500).collect()
+    assert {f["media_id"] for f in frames} == {3}
+
+
+def test_resize_empty_payload(spark):
+    """One zero-byte image row must not abort the Arrow pass — it maps
+    to an all-zero payload of the target size."""
+    rows = [
+        (0, "image", "application/x-fake-image", bytearray(b""), 4, 4, None),
+        (1, "image", "application/x-fake-image", bytearray(b"abcdefgh"), 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: bytes(r["payload"])
+           for r in multimodal.resize_media(media, width=4, height=2).collect()}
+    assert out[0] == b"\x00" * 8
+    assert len(out[1]) == 8 and out[1] != b"\x00" * 8

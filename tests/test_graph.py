@@ -104,3 +104,14 @@ def test_connected_components_random_vs_union_find(spark):
             for r in graph.connected_components(e).collect()
         }
         assert got == want, (trial, es)
+
+
+def test_hits_no_single_partition_exchange(spark):
+    """The per-iteration L2 normalization must be a scalar agg broadcast
+    back onto the scores — not a partitionBy(lit(1)) window, which
+    funnels the whole node table through one partition each round."""
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    plan = graph.hits(e, max_iter=1, checkpoint=False)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange SinglePartition" not in plan

@@ -139,3 +139,18 @@ def test_partition_lineage_opt_in(spark, tmp_path):
                 if x.get("stage") == r["stage"] and "partition_rows" in x
             ).values()
         )
+
+
+def test_adjacency_broadcast_memoized(spark):
+    """Repeated pipeline runs over one KB (the streaming foreachBatch
+    shape) must reuse ONE broadcast handle instead of re-shipping the
+    adjacency blob every call."""
+    from scoobie_spark import linking
+
+    kb = micro_kb(spark)
+    bc1 = linking.kb_adjacency_broadcast(kb)
+    bc2 = linking.kb_adjacency_broadcast(kb)
+    assert bc1 is bc2 and bc1 is not None and bc1.value
+    # a different cap is a different cache entry, not a clobber
+    assert linking.kb_adjacency_broadcast(kb, max_rows=0) is None
+    assert linking.kb_adjacency_broadcast(kb) is bc1

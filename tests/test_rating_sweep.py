@@ -92,3 +92,17 @@ def test_sweep_map_protocol(spark, fixture):
     assert m1 == 1.0
     m2 = mean_average_precision(sweep.filter(F.col("subset_id") == 1), truth)
     assert 0.0 <= m2 <= 1.0
+
+
+def test_graph_rank_scores_no_per_group_arrow(spark, fixture):
+    """graph_rank_scores must run through grouped_apply (one doc_id
+    repartition + mapInPandas) — groupBy().applyInPandas would pay the
+    per-tiny-group Arrow round trip at millions of doc graphs. The plan
+    shows MapInPandas, never FlatMapGroupsInPandas."""
+    kb, docs, resolved, big = fixture
+    scores = rating.graph_rank_scores(resolved, kb)
+    plan = scores._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" in plan
