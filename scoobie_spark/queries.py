@@ -937,6 +937,27 @@ def q_b6_noun_phrases(spark: SparkSession, sf: str) -> DataFrame:
     return phrases.groupBy("doc_id").agg(F.count("*").alias("n_phrases"))
 
 
+def q_b6_noun_phrases_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """B5+B6 trained path: conll2000 averaged-perceptron POS tagger +
+    NP chunker (the reference's OpenNLP maxent + Mallet CRF twins,
+    perceptron.py) feeding the same phrase stitch — phrase counts per
+    doc. Falls back to the rule path if the model artifacts are absent
+    so the query set stays runnable from a source checkout without
+    training."""
+    from . import perceptron, pos
+
+    d = _T(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    if perceptron.models_available():
+        chunked = perceptron.np_chunks_trained(perceptron.pos_tag_trained(d))
+    else:
+        chunked = pos.np_chunks(pos.pos_tag(d))
+    return pos.noun_phrases(chunked).groupBy("doc_id").agg(
+        F.count("*").alias("n_phrases")
+    )
+
+
 def q_b17_components(spark: SparkSession, sf: str) -> DataFrame:
     """B17: distributed connected components (min-label propagation) over
     the MinHash near-duplicate pair graph → near-dup cluster size
@@ -1149,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash_pairs,
         "text_fingerprints": q_text_fingerprints,
         "b6_noun_phrases": q_b6_noun_phrases,
+        "b6_noun_phrases_trained": q_b6_noun_phrases_trained,
         "b17_components": q_b17_components,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,

@@ -22,7 +22,9 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if fn.endswith(".py"):
+                # .json.gz = the trained conll2000 model artifacts
+                # (perceptron.py) — workers unpack them from the zip
+                if fn.endswith((".py", ".json.gz")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, ROOT))
     print(out)

@@ -45,3 +45,97 @@ def test_np_candidate_filter_pipeline(spark):
     objs = {r["obj"] for r in out.filter(F.col("graph") == "recognized").collect()}
     assert "Percy Jackson" in objs and "Camp Halfblood" in objs
     assert "percy jackson" not in objs and "camp halfblood" not in objs
+
+
+# ---------------------------------------------------------------------------
+# trained conll2000 models (perceptron.py) — TestNounPhraseChunker mirror
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+
+from scoobie_spark import perceptron
+
+_CONLL = "/root/reference/corpora/conll2000"
+needs_corpus = pytest.mark.skipif(
+    not os.path.exists(os.path.join(_CONLL, "test_conll2000.txt.zip")),
+    reason="reference conll2000 corpus not present",
+)
+needs_models = pytest.mark.skipif(
+    not perceptron.models_available(),
+    reason="trained models absent — run scripts/train_conll2000.py",
+)
+
+
+@needs_models
+@needs_corpus
+def test_trained_chunker_conll2000():
+    """Mirror of the reference's TestNounPhraseChunker: per-token
+    accuracy on the bundled test file (NounPhraseChunker.testCrf:369-395)
+    plus the NP-segment P/R/F1 view of its MultiSegmentationEvaluator.
+    Frozen from the committed artifacts: acc .9528, NP F1 .9222."""
+    test = perceptron.read_conll2000(os.path.join(_CONLL, "test_conll2000.txt.zip"))
+    chunker = perceptron.AveragedPerceptron.load(perceptron.CHUNK_MODEL)
+    assert perceptron.token_accuracy(chunker, test, "chunk") >= 0.95
+    p, r, f1 = perceptron.np_phrase_f1(chunker, test)
+    assert f1 >= 0.915 and p >= 0.90 and r >= 0.90
+
+
+@needs_models
+@needs_corpus
+def test_trained_pos_conll2000():
+    """Trained-B5: per-token POS accuracy on the conll2000 test file
+    (the reference's maxent tagger layer). Frozen: .9714."""
+    test = perceptron.read_conll2000(os.path.join(_CONLL, "test_conll2000.txt.zip"))
+    tagger = perceptron.AveragedPerceptron.load(perceptron.POS_MODEL)
+    assert perceptron.token_accuracy(tagger, test, "pos") >= 0.965
+
+
+@needs_models
+def test_trained_dataframe_layer(spark):
+    """pos_tag_trained + np_chunks_trained end-to-end over documents:
+    same schema as the rule path, NP spans stitch through the shared
+    noun_phrases, and obvious proper-noun phrases survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog. Percy Jackson trains hard."),
+            (2, "Confidence in the pound is widely expected to fall sharply."),
+        ],
+        "doc_id long, content string",
+    )
+    tagged = perceptron.pos_tag_trained(docs)
+    tags = {r["word"]: r["pos"] for r in tagged.collect()}
+    assert tags["over"] == "IN"
+    assert tags["Percy"] == "NNP" and tags["Jackson"] == "NNP"
+    assert tags["is"] == "VBZ" and tags["expected"] == "VBN"
+    phrases = pos.noun_phrases(perceptron.np_chunks_trained(tagged))
+    ph = {r["phrase"] for r in phrases.collect()}
+    assert "Percy Jackson" in ph
+    assert any("fox" in p for p in ph)
+    assert any("pound" in p for p in ph)
+    assert not any("expected" in p for p in ph)
+
+
+def test_np_filter_precision_recall_effect(spark):
+    """Measured P/R effect of the B6 candidate gate on the micro
+    fixture: with the filter ON precision stays 1.0 while recall drops
+    only by the planted lowercase mentions; OFF is the P=R=1.0 baseline."""
+    from scoobie_spark.fixtures import MICRO_EXPECTED_TRIPLES
+
+    docs, kb = micro_docs(spark), micro_kb(spark)
+    expected = set(MICRO_EXPECTED_TRIPLES)
+
+    def pr(cfg):
+        got = {
+            (r["graph"], r["subj"], r["pred"], r["obj"])
+            for r in extract_triples(spark, docs, kb, cfg).collect()
+        }
+        tp = len(got & expected)
+        return tp / max(len(got), 1), tp / max(len(expected), 1)
+
+    p_off, r_off = pr(PipelineConfig())
+    p_on, r_on = pr(PipelineConfig(np_candidate_filter=True))
+    assert (p_off, r_off) == (1.0, 1.0)
+    assert p_on == 1.0          # the gate never admits junk
+    assert 0.5 <= r_on < 1.0    # it pays recall: lowercase mentions gone
