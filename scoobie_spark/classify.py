@@ -103,17 +103,124 @@ def _featurize(texts: list[str], n_buckets: int = N_BUCKETS) -> np.ndarray:
     return out
 
 
-class EntityClassifier:
-    """Maxent (multinomial logistic) over hashed char-ngram features."""
+# --------------------------------------------------------------------------
+# reference-parity featurization (LabeledTextCorpus.extractFeatures) —
+# opt-in via featurizer="reference"; the hashed char-ngram bag stays the
+# fast default (byte-level, fully vectorized)
+# --------------------------------------------------------------------------
 
-    def __init__(self, weights: np.ndarray, bias: np.ndarray, classes: list[int]):
+import re as _re
+import string as _string
+
+_PUNT = _re.escape(",.;:?!()")
+_QUOTE = "[\"`']"
+_P_ALL = _re.escape(_string.punctuation)
+# reference order (LabeledTextCorpus.scanWordSyntax:403-483) — each
+# match overwrites `token`, so the LAST matching class wins
+_SHAPE_PATTERNS = [
+    ("MIXEDCAPS", _re.compile(r"[A-Z][a-z]+[A-Z][A-Za-z]*")),
+    ("ALLDIGITS", _re.compile(r"[0-9]+")),
+    ("NUMERICAL", _re.compile(r"[-0-9]+[.,]+[0-9.,]+")),
+    ("DATE", _re.compile(rf"[0-9]+[{_P_ALL}0-9]+")),
+    ("ROMAN", _re.compile(r"[ivxdlcm]+|[IVXDLCM]+")),
+    ("MULTIDOTS", _re.compile(r"\.\.+")),
+    ("LONELYINITIAL", _re.compile(r"[^\W\d_a-z]\.")),
+    ("ABBR", _re.compile(r"[^\W\d_][^\W\d_]+\.")),
+    ("SINGLECHARALLCAPS", _re.compile(r"[^\W\d_]")),  # SINGLECHAR
+    ("CAPLETTER", _re.compile(r"[A-Z]")),
+    ("PUNC", _re.compile(f"[{_PUNT}]")),
+    ("QUOTES", _re.compile(f"{_QUOTE}[^\\W\\d_]?")),
+    ("ENUM", _re.compile(rf"[0-9]+[{_PUNT}a-z]+")),
+    ("NUMRANGE", _re.compile(r"[0-9]+-[0-9]+")),
+]
+_WORD_RE = _re.compile(r"\w+|[^\w\s]")
+
+
+def scan_word_syntax(token: str, use_suffix: bool = True) -> list[str]:
+    """scanWordSyntax:403-483: regex shape classes replace the token
+    (last match wins); un-classed tokens longer than 3 also emit an
+    ``s:<last3>`` suffix feature."""
+    out_token, used = token, False
+    for name, pat in _SHAPE_PATTERNS:
+        if pat.fullmatch(token):
+            out_token, used = name, True
+    feats = []
+    if not used and len(token) > 3 and use_suffix:
+        feats.append("s:" + token[-3:])
+    feats.append(out_token)
+    return feats
+
+
+def reference_features(
+    phrase: str,
+    pre_tokens: list[str] | None = None,
+    post_tokens: list[str] | None = None,
+    ngram_sizes: tuple[int, ...] = (1, 2),
+    windowsize: int = 3,
+) -> list[str]:
+    """extractFeatures:293-337 for one entity span: ``i:`` unigrams of
+    the span's shape-scanned tokens (useContent), ``a:``/``p:``
+    n-grams (joined with ',') over the ±windowsize context
+    (useContext). KB-literal training has no context, so pre/post
+    default empty — exactly the content-features-only configuration."""
+    feats = []
+    for tok in _WORD_RE.findall(phrase):
+        for f in scan_word_syntax(tok, use_suffix=True):
+            feats.append("i:" + f)
+    for prefix, ctx, before in (("a:", pre_tokens, True), ("p:", post_tokens, False)):
+        if not ctx:
+            continue
+        # strict |distance| < windowsize ⇒ windowsize−1 neighbors a side
+        win = ctx[-(windowsize - 1):] if before else ctx[: windowsize - 1]
+        scanned = [f for tok in win for f in scan_word_syntax(tok, use_suffix=False)]
+        for n in ngram_sizes:
+            m = min(n, len(scanned))  # calculateNgrams:383-401
+            if m:
+                for i in range(m, len(scanned) + 1):
+                    feats.append(prefix + ",".join(scanned[i - m : i]))
+    return feats
+
+
+def _featurize_reference(texts: list[str], n_buckets: int) -> np.ndarray:
+    """Reference feature strings hashed (FNV-1a over utf-8) into the
+    same bag space as the char-ngram path; L2-normalized rows."""
+    out = np.zeros((len(texts), n_buckets), dtype=np.float32)
+    for r, t in enumerate(texts):
+        for f in reference_features(t):
+            h = 0xCBF29CE484222325
+            for ch in f.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[r, h % n_buckets] += 1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+class EntityClassifier:
+    """Maxent (multinomial logistic) over hashed features —
+    ``featurizer`` ∈ {"char_ngrams" (default, vectorized),
+    "reference" (LabeledTextCorpus parity)}; the mode is part of the
+    model so inference always matches training."""
+
+    def __init__(
+        self,
+        weights: np.ndarray,
+        bias: np.ndarray,
+        classes: list[int],
+        featurizer: str = "char_ngrams",
+    ):
         self.weights = weights  # (n_buckets, n_classes) float32
         self.bias = bias        # (n_classes,)
         self.classes = classes  # class label per column (cluster/type ids)
+        self.featurizer = featurizer
+
+    def _x(self, texts: list[str]) -> np.ndarray:
+        if self.featurizer == "reference":
+            return _featurize_reference(texts, self.weights.shape[0])
+        return _featurize(texts, self.weights.shape[0])
 
     def predict_proba(self, texts: list[str]) -> np.ndarray:
-        x = _featurize(texts, self.weights.shape[0])
-        z = x @ self.weights + self.bias
+        z = self._x(texts) @ self.weights + self.bias
         z -= z.max(axis=1, keepdims=True)
         e = np.exp(z)
         return e / e.sum(axis=1, keepdims=True)
@@ -155,6 +262,7 @@ def train_entity_classifier(
     lr: float = 5.0,
     l2: float = 1e-5,
     seed: int = 13,
+    featurizer: str = "char_ngrams",
 ) -> EntityClassifier:
     """Full-batch gradient maxent on collected (literal, cls) pairs.
 
@@ -167,7 +275,11 @@ def train_entity_classifier(
     classes = sorted(set(labels))
     cindex = {c: j for j, c in enumerate(classes)}
     y = np.array([cindex[l] for l in labels], dtype=np.int64)
-    x = _featurize(texts, n_buckets)
+    x = (
+        _featurize_reference(texts, n_buckets)
+        if featurizer == "reference"
+        else _featurize(texts, n_buckets)
+    )
 
     rng = np.random.default_rng(seed)
     w = (rng.standard_normal((n_buckets, len(classes))) * 0.01).astype(np.float32)
@@ -181,7 +293,7 @@ def train_entity_classifier(
         g = (p - onehot) / len(y)
         w -= lr * (x.T @ g + l2 * w)
         b -= lr * g.sum(axis=0)
-    return EntityClassifier(w, b, classes)
+    return EntityClassifier(w, b, classes, featurizer=featurizer)
 
 
 CLASSIFIED_SCHEMA = (

@@ -96,3 +96,87 @@ def mean_average_precision(
     )
     row = ap.agg(F.avg("ap").alias("map")).first()
     return float(row["map"]) if row["map"] is not None else 0.0
+
+
+GRAPH_RESOLVERS = [
+    "degree", "flow", "pagerank", "hub", "authority", "hits", "hits2", "random",
+]
+
+
+def resolver_pr(
+    docs: DataFrame,
+    kb,
+    gt_uris: set[str],
+    resolvers: list[str] | None = None,
+    classifier=None,
+) -> list[dict]:
+    """Per-resolver P/R on the ambiguous mentions of a labeled corpus —
+    the reference's resolver-comparison protocol
+    (``EntityDisambiguation.compare:467-566``): ground truth is reduced
+    to URIs that are actually ambiguous in the documents (spans whose
+    literal maps to >1 candidate subject); each resolver's resolved
+    subjects are intersected with that ambiguous set; precision =
+    relevant/(relevant+not) over the distinct found URIs, recall =
+    relevant/|GT∩ambiguous|. One dict per resolver, plus the
+    missed/true/false URI sets the reference logs.
+
+    ``classifier`` — a ``(model, clusters)`` pair as taken by
+    :func:`linking.disambiguate_classification` — adds the
+    classification resolver to the sweep. Driver-side set work is
+    bounded by the corpus's ambiguity volume — same shape as the
+    reference's in-memory compare loop; this is an evaluation harness
+    for labeled fixtures, not a production stage.
+    """
+    from . import linking, textproc
+    from .spotting import spot
+
+    resolvers = list(resolvers or GRAPH_RESOLVERS)
+    docs_id = docs if "doc_id" in docs.columns else textproc.with_doc_id(docs)
+    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    mentions = spot(textproc.suffix_candidates(docs_id, kb_prefixes), kb.gazetteer())
+    cand = linking.resolve_instances(mentions, kb).localCheckpoint()
+
+    amb_subjects = {
+        r["subject"]
+        for r in (
+            cand.groupBy("doc_id", "begin", "end", "lit_id")
+            .agg(F.collect_set("subject").alias("subjects"))
+            .filter(F.size("subjects") > 1)
+            .select(F.explode("subjects").alias("subject"))
+            .distinct()
+            .collect()
+        )
+    }
+    uri_of = {
+        r["id"]: r["uri"]
+        for r in kb.resources.filter(F.col("id").isin(*amb_subjects)).collect()
+    } if amb_subjects else {}
+    amb_uris = set(uri_of.values())
+    gt = set(gt_uris) & amb_uris  # gtUris.retainAll(ambUris)
+
+    out = []
+    for resolver in resolvers:
+        if resolver == "classification":
+            model, clusters = classifier
+            resolved = linking.disambiguate_classification(cand, kb, model, clusters)
+        else:
+            resolved = linking.disambiguate(cand, kb, resolver)
+        found = {
+            uri_of[r["subject"]]
+            for r in resolved.select("subject").distinct().collect()
+            if r["subject"] in amb_subjects
+        }
+        relevant = len(found & gt)
+        out.append(
+            {
+                "resolver": resolver,
+                "precision": relevant / max(len(found), 1),
+                "recall": relevant / max(len(gt), 1),
+                "n_gt": len(gt),
+                "n_found": len(found),
+                "missed": sorted(gt - found),
+                "true": sorted(found & gt),
+                "false": sorted(found - gt),
+            }
+        )
+    return out

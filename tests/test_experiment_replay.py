@@ -1,0 +1,63 @@
+"""ScoobieExperiment.testSystem replay on the reference's bundled
+wikinews corpus — frozen end-to-end metrics (experiments.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scoobie_spark import experiments as E
+
+_ZIP = "/root/reference/corpora/wikinews/wikinews_text_labels.zip"
+
+needs_corpus = pytest.mark.skipif(
+    not os.path.exists(_ZIP), reason="reference wikinews corpus not present"
+)
+
+
+@needs_corpus
+def test_zip_corpus_reader(spark):
+    """TextCorpus.getEntries parity: one row per non-directory member."""
+    corpus = E.read_zip_corpus(spark, _ZIP)
+    rows = corpus.collect()
+    assert len(rows) == 99  # 100 entries − 1 directory
+    assert all(r["content"] for r in rows)
+    assert any("LulzSec" in r["uri"] for r in rows)
+
+
+@needs_corpus
+def test_wikinews_ground_truth(spark):
+    """WikinewsCorpus.extractLabels parity: quote-delimited dbpedia
+    URIs, \\w+-segment only (Madison,_Wisconsin is NOT ground truth),
+    lowercased."""
+    corpus = E.read_zip_corpus(spark, _ZIP)
+    gt = E.ground_truth(corpus)
+    uris = {r["gt_uri"] for r in gt.collect()}
+    assert "http://dbpedia.org/resource/sony" in uris
+    assert all(u == u.lower() for u in uris)
+    assert not any("," in u for u in uris)
+    assert gt.count() == 893
+
+
+@needs_corpus
+def test_scoobie_experiment_frozen_metrics(spark):
+    """The full replay: zip corpus → anchor KB through A2-A9 → flagship
+    pipeline → recognized lists → calcPrecRecF1@1000. Deterministic, so
+    the corpus means are frozen exactly (rounded to 3 decimals):
+    P 0.703, R 0.875, F1 0.767 over 99 docs. Precision < 1 is the
+    corpus-wide anchor dictionary firing on unlinked mentions; recall
+    misses are case/markup variants — both effects the reference's
+    DBpedia deployment shows too."""
+    res = E.scoobie_experiment(spark, _ZIP).cache()
+    agg = res.agg(
+        F.round(F.avg("precision"), 3).alias("p"),
+        F.round(F.avg("recall"), 3).alias("r"),
+        F.round(F.avg("f1"), 3).alias("f1"),
+        F.count("*").alias("docs"),
+    ).first()
+    assert agg["docs"] == 99
+    assert agg["p"] == pytest.approx(0.703, abs=0.002)
+    assert agg["r"] == pytest.approx(0.875, abs=0.002)
+    assert agg["f1"] == pytest.approx(0.767, abs=0.002)
+    # every document participates and none scores a degenerate denominator
+    assert res.filter(F.col("n_gt") <= 0).count() == 0
