@@ -82,17 +82,29 @@ def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
     # str.split also breaks on unicode whitespace, which RE2 does not)
     ws_re = re.compile(r"\s+", re.ASCII)
 
+    lang_names = list(_STOPWORDS)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            langs = []
-            for t in pdf["text"].fillna("").values:
-                toks = set(ws_re.split(t.lower()))
-                best, best_n = "und", 0
-                for lang, sw in _STOPWORDS.items():
-                    n = len(toks & sw)
-                    if n > best_n:
-                        best, best_n = lang, n
-                langs.append(best)
+            pdf = pdf.reset_index(drop=True)  # explode() indexes by row
+            n = len(pdf)
+            votes = np.zeros((n, len(lang_names)), dtype=np.int64)
+            # vectorized: one split/explode pass + an isin per language,
+            # instead of a Python set-intersection loop per document
+            toks = (
+                pdf["text"].fillna("").str.lower().str.split(ws_re).explode()
+            )
+            pairs = pd.DataFrame(
+                {"r": toks.index.to_numpy(), "t": toks.values}
+            ).drop_duplicates()
+            for j, lang in enumerate(lang_names):
+                hit = pairs.loc[pairs["t"].isin(_STOPWORDS[lang]), "r"]
+                np.add.at(votes[:, j], hit.to_numpy(), 1)
+            best = votes.argmax(axis=1)  # first-max wins, like the
+            langs = np.array(lang_names, dtype=object)[best]  # scalar loop's `>`
+            langs[votes.max(axis=1) == 0] = "und"
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "lang_guess": langs})
 
     return cols.mapInPandas(gen, "doc_id long, lang_guess string")

@@ -429,6 +429,32 @@ def pos_tag_trained(docs: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, POS_SCHEMA)
 
 
+def np_span_filter(candidates: DataFrame, docs: DataFrame) -> DataFrame:
+    """The reference's NP gate on suffix-array starts
+    (``SuffixArrayBuilder.filterNounPhrases``) with the TRAINED chunker:
+    keep only candidate token starts inside a predicted NP span
+    (left-semi range join after the doc_id equi-key; spans within a doc
+    are disjoint by construction). The cheap capitalization form of the
+    same signal is ``textproc.suffix_candidates(np_filter=True)`` — this
+    is the quality path behind ``PipelineConfig.np_candidate_filter=
+    "chunker"``."""
+    from pyspark.sql import functions as F
+
+    from .pos import noun_phrases
+
+    spans = noun_phrases(np_chunks_trained(pos_tag_trained(docs))).select(
+        F.col("doc_id").alias("np_doc"),
+        F.col("begin").alias("np_begin"),
+        F.col("end").alias("np_end"),
+    )
+    cond = [
+        candidates["doc_id"] == spans["np_doc"],
+        candidates["begin"] >= spans["np_begin"],
+        candidates["begin"] < spans["np_end"],
+    ]
+    return candidates.join(spans, cond, "left_semi")
+
+
 NP_SCHEMA = (
     "doc_id long, start int, end int, sent_id int, word string, pos string, np string"
 )

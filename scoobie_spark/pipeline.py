@@ -43,7 +43,11 @@ class PipelineConfig:
     recommend: bool = False            # B24 (needs markov stats)
     resolver: str = "degree"           # B20 strategy (degree|flow|pagerank|hub|authority)
     template: str | None = None        # SPARQL extraction template (O1 pushdown)
-    np_candidate_filter: bool = False  # B6 proper-name gate on candidate starts
+    # B6 proper-name gate on candidate starts: False = off, True/"caps" =
+    # first-char uppercase/digit (cheap, fully inside the vectorized
+    # scan), "chunker" = trained conll2000 NP spans (perceptron.py — the
+    # reference's filterNounPhrases; slower, catches lowercase NPs)
+    np_candidate_filter: bool | str = False
     fused: bool = True                 # ONE shuffle+Arrow pass for B8-B21; False =
                                        # staged path (finer checkpoints for resume)
     # broadcast the KB relation graph as a per-subject adjacency when it
@@ -200,18 +204,19 @@ def extract_triples(
         kb_prefixes = [r["prefix"] for r in pref_rows]
         max_lit = max((r["ml"] for r in pref_rows), default=0)
         suffix_cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
-    candidates = _stage(
-        cfg,
-        "candidates",
-        textproc.suffix_candidates(
-            docs,
-            kb_prefixes,
-            check_sha256=cfg.check_sha256,
-            np_filter=cfg.np_candidate_filter,
-            max_suffix_len=suffix_cap,
-        ),
-        spark,
+    np_mode = cfg.np_candidate_filter
+    cand_df = textproc.suffix_candidates(
+        docs,
+        kb_prefixes,
+        check_sha256=cfg.check_sha256,
+        np_filter=bool(np_mode) and np_mode != "chunker",
+        max_suffix_len=suffix_cap,
     )
+    if np_mode == "chunker":
+        from . import perceptron
+
+        cand_df = perceptron.np_span_filter(cand_df, docs)
+    candidates = _stage(cfg, "candidates", cand_df, spark)
     gazetteer = kb.gazetteer()
     ctx = None
     typed = None

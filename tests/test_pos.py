@@ -139,3 +139,27 @@ def test_np_filter_precision_recall_effect(spark):
     assert (p_off, r_off) == (1.0, 1.0)
     assert p_on == 1.0          # the gate never admits junk
     assert 0.5 <= r_on < 1.0    # it pays recall: lowercase mentions gone
+
+
+@needs_models
+def test_np_chunker_candidate_gate(spark):
+    """PipelineConfig(np_candidate_filter="chunker"): the trained NP-span
+    gate keeps the planted proper-noun mentions (they sit inside
+    predicted NPs) — and unlike the "caps" gate it may also keep
+    lowercase NPs, so it is measured as ≥ the caps gate's recall."""
+    from scoobie_spark.fixtures import MICRO_EXPECTED_TRIPLES
+
+    docs, kb = micro_docs(spark), micro_kb(spark)
+    expected = set(MICRO_EXPECTED_TRIPLES)
+
+    def triples(cfg):
+        return {
+            (r["graph"], r["subj"], r["pred"], r["obj"])
+            for r in extract_triples(spark, docs, kb, cfg).collect()
+        }
+
+    got_chunker = triples(PipelineConfig(np_candidate_filter="chunker"))
+    got_caps = triples(PipelineConfig(np_candidate_filter=True))
+    assert got_chunker <= expected          # gate never admits junk
+    assert len(got_chunker) >= len(got_caps)
+    assert any(obj == "Percy Jackson" for _, _, _, obj in got_chunker)
