@@ -171,7 +171,9 @@ def reference_features(
         if not ctx:
             continue
         # strict |distance| < windowsize ⇒ windowsize−1 neighbors a side
-        win = ctx[-(windowsize - 1):] if before else ctx[: windowsize - 1]
+        # (k=0 must yield NO neighbors; ctx[-0:] would be the whole list)
+        keep = windowsize - 1
+        win = (ctx[-keep:] if keep > 0 else []) if before else ctx[:keep]
         scanned = [f for tok in win for f in scan_word_syntax(tok, use_suffix=False)]
         for n in ngram_sizes:
             m = min(n, len(scanned))  # calculateNgrams:383-401
@@ -209,6 +211,8 @@ class EntityClassifier:
         classes: list[int],
         featurizer: str = "char_ngrams",
     ):
+        if featurizer not in ("char_ngrams", "reference"):
+            raise ValueError(f"unknown featurizer: {featurizer!r}")
         self.weights = weights  # (n_buckets, n_classes) float32
         self.bias = bias        # (n_classes,)
         self.classes = classes  # class label per column (cluster/type ids)
@@ -269,6 +273,8 @@ def train_entity_classifier(
     Driver-side on purpose: the training set is dictionary-scale and
     per-class capped upstream; the expensive corpus side never touches
     the driver."""
+    if featurizer not in ("char_ngrams", "reference"):
+        raise ValueError(f"unknown featurizer: {featurizer!r}")
     rows = pairs.collect()
     texts = [r["literal"] for r in rows]
     labels = [r["cls"] for r in rows]

@@ -131,6 +131,12 @@ def resolver_pr(
     from .spotting import spot
 
     resolvers = list(resolvers or GRAPH_RESOLVERS)
+    if classifier is not None and "classification" not in resolvers:
+        resolvers.append("classification")
+    if "classification" in resolvers and classifier is None:
+        raise ValueError(
+            "classification resolver needs classifier=(model, clusters)"
+        )
     docs_id = docs if "doc_id" in docs.columns else textproc.with_doc_id(docs)
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
     mentions = spot(textproc.suffix_candidates(docs_id, kb_prefixes), kb.gazetteer())

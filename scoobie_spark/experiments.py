@@ -46,8 +46,9 @@ RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _THING = "http://www.w3.org/2002/07/owl#Thing"
 
-# WikinewsCorpus.java:38-39, quotes stripped by the capture group
-_GT_PATTERN = r'"(http://dbpedia\.org/\w+/\w+)"'
+# WikinewsCorpus.java:38-39 (CASE_INSENSITIVE), quotes stripped by the
+# capture group
+_GT_PATTERN = r'(?i)"(http://dbpedia\.org/\w+/\w+)"'
 # anchor elements carry the (uri, surface form) pairs
 _ANCHOR_PATTERN = r'<a href="(http://dbpedia\.org/[^"]+)">([^<]*)</a>'
 
@@ -135,7 +136,7 @@ def calc_prec_rec_f1(found: DataFrame, gt: DataFrame, k: int = 1000) -> DataFram
     doc)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("uri").orderBy(F.col("rank_key"))
+    w = Window.partitionBy("uri").orderBy(F.col("rank_key"), F.col("found_uri"))
     capped = (
         found.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -177,35 +178,45 @@ def scoobie_experiment(
 ) -> DataFrame:
     """The full testSystem replay: returns the per-doc metric table.
 
-    Steps: zip corpus → anchor-derived KB through A2-A9 → flagship
-    ``extract_triples`` (B1-B25, sha256 invariant enforced, degree
-    resolver = the reference default) → recognized subject URIs per doc
-    → calcPrecRecF1@k vs the document's anchor ground truth."""
-    from .pipeline import PipelineConfig, extract_triples
+    Steps: zip corpus → anchor-derived KB through A2-A9 → spotting +
+    linking + disambiguation (sha256 invariant enforced inside the
+    candidate scan, degree resolver = the reference default) → B23
+    relevance rating (capacity, the reference's production config) →
+    the B27 ranked-URI list per doc (``ListSerializer``) →
+    calcPrecRecF1@k of that RANKED list vs the document's anchor ground
+    truth — the @k truncation cuts the lowest-RATED tail, exactly as
+    the reference's confidence-ranked list does."""
+    from . import linking, rating, serialize, textproc
 
     corpus = read_zip_corpus(spark, corpus_zip).localCheckpoint()
     kb = kb_from_anchors(spark, corpus)
     gt = ground_truth(corpus)
 
-    docs = corpus.select(
-        F.lit(corpus_zip).alias("repo"),
-        F.col("uri").alias("path"),
-        F.lit("gt").alias("commit"),
-        F.lit("en").alias("lang"),
-        "content",
-        F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+    docs = textproc.with_doc_id(
+        corpus.select(
+            F.lit(corpus_zip).alias("repo"),
+            F.col("uri").alias("path"),
+            F.lit("gt").alias("commit"),
+            "content",
+            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+        )
+    ).localCheckpoint()
+    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
+    resolved = linking.spot_resolve(cands, kb, resolver).localCheckpoint()
+    scores = rating.relevance_scores(
+        resolved, kb, docs.select("doc_id", "content"), metrics=["capacity"]
     )
-    triples = extract_triples(spark, docs, kb, PipelineConfig(resolver=resolver))
-    # doc_id ↔ uri mapping mirrors textproc.with_doc_id's key derivation
-    ids = docs.select(
-        F.xxhash64("repo", "path", "commit").alias("doc_id"),
-        F.col("path").alias("uri"),
-    )
+    ranked = serialize.ranked_subjects(resolved, scores, kb)
+
+    ids = docs.select("doc_id", F.col("path").alias("doc_uri"))
     found = (
-        triples.filter(F.col("graph") == "recognized")
+        ranked.select(
+            "doc_id",
+            F.lower("uri").alias("found_uri"),
+            (-F.col("score")).alias("rank_key"),
+        )
         .join(F.broadcast(ids), "doc_id")
-        .select("uri", F.lower("subj").alias("found_uri"))
-        .distinct()
-        .withColumn("rank_key", F.col("found_uri"))
+        .select(F.col("doc_uri").alias("uri"), "found_uri", "rank_key")
     )
     return calc_prec_rec_f1(found, gt, k)

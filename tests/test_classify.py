@@ -121,3 +121,22 @@ def test_featurizer_flag_comparison(model, spark):
     n_chr = classify.classify_phrases(phrases, clf, margin=0.6).count()
     assert n_ref >= 20          # the parity features do learn the KB
     assert n_chr >= n_ref       # measured: the default is not worse
+
+
+def test_reference_features_windowsize_one():
+    """windowsize=1 means zero context neighbors on BOTH sides (the
+    ctx[-0:] slice used to leak the entire pre-context)."""
+    feats = classify.reference_features(
+        "Percy", pre_tokens=["a"] * 50, post_tokens=["b"] * 50, windowsize=1
+    )
+    assert not any(f.startswith(("a:", "p:")) for f in feats)
+
+
+def test_featurizer_validated():
+    with pytest.raises(ValueError):
+        classify.EntityClassifier(
+            __import__("numpy").zeros((4, 2), "float32"),
+            __import__("numpy").zeros(2, "float32"),
+            [0, 1],
+            featurizer="Reference",
+        )

@@ -61,3 +61,18 @@ def test_scoobie_experiment_frozen_metrics(spark):
     assert agg["f1"] == pytest.approx(0.767, abs=0.002)
     # every document participates and none scores a degenerate denominator
     assert res.filter(F.col("n_gt") <= 0).count() == 0
+
+
+@needs_corpus
+def test_prf_at_k_truncates_ranked_tail(spark):
+    """calcPrecRecF1's @k truncation must cut the lowest-RATED tail of
+    each doc's list, not an alphabetical prefix: at k=1 every doc
+    reports exactly its top-rated URI."""
+    res1 = E.scoobie_experiment(spark, _ZIP, k=1).cache()
+    assert res1.filter(F.col("n_found") > 1).count() == 0
+    assert res1.filter(F.col("n_found") == 1).count() > 90
+    # frozen: capacity-rated P@1 measures 0.4545 on this corpus —
+    # deterministic, and (interestingly) BELOW the @1000 set precision:
+    # the capacity metric favors long labels, not ground-truth-ness
+    p1 = res1.agg(F.avg("precision")).first()[0]
+    assert p1 == pytest.approx(0.4545, abs=0.002)
