@@ -183,12 +183,82 @@ def reference_features(
     return feats
 
 
-def _featurize_reference(texts: list[str], n_buckets: int) -> np.ndarray:
-    """Reference feature strings hashed (FNV-1a over utf-8) into the
-    same bag space as the char-ngram path; L2-normalized rows."""
-    out = np.zeros((len(texts), n_buckets), dtype=np.float32)
-    for r, t in enumerate(texts):
-        for f in reference_features(t):
+def _calc_ngrams(n: int, seq: list[str], before: str) -> list[str]:
+    """calculateNgrams:383-401: sliding n-grams joined with ',' —
+    shorter sequences fall back to their full length."""
+    m = min(n, len(seq))
+    if not m:
+        return []
+    return [before + ",".join(seq[i - m : i]) for i in range(m, len(seq) + 1)]
+
+
+def _scan_word_content(
+    word: str,
+    pos: str,
+    label: str,
+    postags: frozenset[str] | set[str],
+    type_proportion: float,
+) -> list[str]:
+    """scanWordContent:349-381, deterministic form: an O-labeled context
+    token participates only when its 2-char POS prefix is in ``postags``
+    (the reference passes 3-char entries like "NNP" that can never equal
+    a 2-char substring — bug-for-bug, we compare the raw prefix against
+    the set as given); a LABELED context token contributes its label
+    when ``type_proportion`` ≥ 1 (the reference draws Random() ≤ prob —
+    only the 0/1 endpoints are deterministic)."""
+    if label == "O":
+        if len(pos) > 1 and pos[:2] in postags:
+            return scan_word_syntax(word, use_suffix=False)
+        return []
+    if type_proportion >= 1.0:
+        return [label]
+    return scan_word_syntax(word, use_suffix=False)
+
+
+def extract_span_features(
+    rows: list[tuple[str, str, str]],
+    lower: int,
+    upper: int,
+    ngram_sizes: tuple[int, ...] = (1, 2, 3, 4, 5),
+    windowsize: int = 5,
+    postags: tuple[str, ...] = ("VB", "ADJ", "NNP", "NN", "NNS"),
+    type_proportion: float = 1.0,
+) -> list[str]:
+    """extractFeatures:293-337 with the FULL context protocol over one
+    sentence of (word, pos, label) rows: span tokens → i: unigrams with
+    suffixes; ±windowsize context filtered through scanWordContent →
+    a:/p: n-grams for every size in ``ngram_sizes``. This is the
+    configuration the conll2003 type-prediction experiment uses
+    (PredictTypesOnConll2003Experiment.java: ngrams 1-5, window 5)."""
+    match_pos = frozenset(postags)
+    prefixes: list[str] = []
+    infixes: list[str] = []
+    postfixes: list[str] = []
+    for i, (word, pos, label) in enumerate(rows):
+        if i < lower:
+            if i - lower > -windowsize:
+                prefixes += _scan_word_content(word, pos, label, match_pos, type_proportion)
+        elif i <= upper:
+            infixes += scan_word_syntax(word, use_suffix=True)
+        elif i - upper < windowsize:
+            postfixes += _scan_word_content(word, pos, label, match_pos, type_proportion)
+    feats: list[str] = []
+    for n in ngram_sizes:
+        feats += _calc_ngrams(n, prefixes, "a:")
+        feats += _calc_ngrams(n, postfixes, "p:")
+    feats += _calc_ngrams(1, infixes, "i:")
+    return feats
+
+
+def hash_feature_lists(
+    feature_lists: list[list[str]], n_buckets: int = N_BUCKETS
+) -> np.ndarray:
+    """Arbitrary string-feature bags hashed (FNV-1a over utf-8) into a
+    fixed bucket space; L2-normalized rows. Shared by the reference
+    featurizer and the conll2003 experiment replay."""
+    out = np.zeros((len(feature_lists), n_buckets), dtype=np.float32)
+    for r, feats in enumerate(feature_lists):
+        for f in feats:
             h = 0xCBF29CE484222325
             for ch in f.encode("utf-8"):
                 h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
@@ -196,6 +266,39 @@ def _featurize_reference(texts: list[str], n_buckets: int) -> np.ndarray:
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out
+
+
+def fit_maxent(
+    x: np.ndarray,
+    y: np.ndarray,
+    n_classes: int,
+    epochs: int = 600,
+    lr: float = 5.0,
+    l2: float = 1e-5,
+    seed: int = 13,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full-batch multinomial-logistic gradient descent → (weights,
+    bias). The shared trainer behind train_entity_classifier and the
+    experiment replays."""
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((x.shape[1], n_classes)) * 0.01).astype(np.float32)
+    b = np.zeros(n_classes, dtype=np.float32)
+    onehot = np.eye(n_classes, dtype=np.float32)[y]
+    for _ in range(epochs):
+        z = x @ w + b
+        z -= z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        p = e / e.sum(axis=1, keepdims=True)
+        g = (p - onehot) / len(y)
+        w -= lr * (x.T @ g + l2 * w)
+        b -= lr * g.sum(axis=0)
+    return w, b
+
+
+def _featurize_reference(texts: list[str], n_buckets: int) -> np.ndarray:
+    """Reference feature strings hashed into the same bag space as the
+    char-ngram path; L2-normalized rows."""
+    return hash_feature_lists([reference_features(t) for t in texts], n_buckets)
 
 
 class EntityClassifier:
@@ -287,18 +390,7 @@ def train_entity_classifier(
         else _featurize(texts, n_buckets)
     )
 
-    rng = np.random.default_rng(seed)
-    w = (rng.standard_normal((n_buckets, len(classes))) * 0.01).astype(np.float32)
-    b = np.zeros(len(classes), dtype=np.float32)
-    onehot = np.eye(len(classes), dtype=np.float32)[y]
-    for _ in range(epochs):
-        z = x @ w + b
-        z -= z.max(axis=1, keepdims=True)
-        e = np.exp(z)
-        p = e / e.sum(axis=1, keepdims=True)
-        g = (p - onehot) / len(y)
-        w -= lr * (x.T @ g + l2 * w)
-        b -= lr * g.sum(axis=0)
+    w, b = fit_maxent(x, y, len(classes), epochs=epochs, lr=lr, l2=l2, seed=seed)
     return EntityClassifier(w, b, classes, featurizer=featurizer)
 
 

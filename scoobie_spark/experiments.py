@@ -220,3 +220,140 @@ def scoobie_experiment(
         .select(F.col("doc_uri").alias("uri"), "found_uri", "rank_key")
     )
     return calc_prec_rec_f1(found, gt, k)
+
+
+# ---------------------------------------------------------------------------
+# PredictTypesOnConll2003Experiment replay
+# ---------------------------------------------------------------------------
+
+def read_conll2003(path: str) -> list[list[tuple[str, str, str, str]]]:
+    """Sentences of (word, pos, chunk, ner) from a conll2003 file or the
+    reference's zip of it (``corpora/conll2003/eng.*.zip``)."""
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as zf:
+            lines = zf.read(zf.namelist()[0]).decode("utf-8").splitlines()
+    else:
+        with open(path, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    sents: list[list[tuple[str, str, str, str]]] = []
+    cur: list[tuple[str, str, str, str]] = []
+    for line in lines:
+        parts = line.split()
+        if len(parts) >= 4 and parts[0] != "-DOCSTART-":
+            cur.append((parts[0], parts[1], parts[2], parts[3]))
+        elif cur:
+            sents.append(cur)
+            cur = []
+    if cur:
+        sents.append(cur)
+    return sents
+
+
+def conll2003_examples(
+    sents: list[list[tuple[str, str, str, str]]],
+    ngram_sizes: tuple[int, ...] = (1, 2, 3, 4, 5),
+    windowsize: int = 5,
+    postags: tuple[str, ...] = ("VB", "ADJ", "NNP", "NN", "NNS"),
+    type_proportion: float = 1.0,
+) -> list[tuple[str, list[str]]]:
+    """(label, features) per labeled entity span — the
+    ``LabeledTextCorpus.toFeatureFormat:169-251`` loop: consecutive
+    non-O tokens accumulate into ONE span (even across NER types — the
+    reference labels the example by the FIRST token's tag), flushed when
+    an O token follows. Bug-for-bug: a span that runs to the end of its
+    sentence is never flushed (the reference only emits inside the
+    ``label.equals(OUTSIDE_ANY_LABEL)`` branch), and its coreference
+    'followed next sentence' branch re-appends the SAME features — we
+    skip that duplication rather than replicate it."""
+    from .classify import extract_span_features
+
+    out: list[tuple[str, list[str]]] = []
+    for sent in sents:
+        rows = [(w, p, l) for (w, p, _c, l) in sent]
+        idxs: list[int] = []
+        for i, (_w, _p, label) in enumerate(rows):
+            if label == "O":
+                if idxs:
+                    feats = extract_span_features(
+                        rows, idxs[0], idxs[-1], ngram_sizes, windowsize,
+                        postags, type_proportion,
+                    )
+                    if feats:
+                        out.append((rows[idxs[0]][2], feats))
+                    idxs = []
+            else:
+                idxs.append(i)
+    return out
+
+
+def predict_types_conll2003(
+    path: str,
+    test_path: str | None = None,
+    proportion: float = 0.8,
+    n_buckets: int = 1 << 12,
+    epochs: int = 400,
+    seed: int = 13,
+) -> dict:
+    """The ``trainClassifierOnConLLData`` protocol
+    (PredictTypesOnConll2003Experiment.java:168-198 →
+    ``EntityClassifier.evaluate``): extract span examples, train the
+    maxent, report per-class precision/recall/F1 plus overall accuracy.
+    The reference's bundled testa/testb files carry the author's KB
+    entity-type ids in the NER column (eng.train keeps the standard
+    I-PER/I-ORG/... tags), so ``test_path`` enables the real held-out
+    form (train testa → test testb); without it, a seeded
+    ``proportion`` split of ``path`` mirrors ``evaluateWithTestData``.
+    Driver-side numpy like the reference's Mallet run — the corpus is a
+    single labeled file; the Spark-facing inference path shares the same
+    featurizer via ``classify.classify_phrases``."""
+    import numpy as np
+
+    from .classify import fit_maxent, hash_feature_lists
+
+    examples = conll2003_examples(read_conll2003(path))
+    labels = [l for l, _ in examples]
+    classes = sorted(set(labels))
+    cidx = {c: j for j, c in enumerate(classes)}
+    y = np.array([cidx[l] for l in labels], dtype=np.int64)
+    x = hash_feature_lists([f for _, f in examples], n_buckets)
+
+    if test_path is not None:
+        test_ex = [
+            (l, f)
+            for l, f in conll2003_examples(read_conll2003(test_path))
+            if l in cidx  # unseen classes are untrainable, like Mallet's alphabet
+        ]
+        tr = np.arange(len(y))
+        y_te = np.array([cidx[l] for l, _ in test_ex], dtype=np.int64)
+        x_te = hash_feature_lists([f for _, f in test_ex], n_buckets)
+    else:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(y))
+        cut = int(len(y) * proportion)
+        tr, te = order[:cut], order[cut:]
+        y_te, x_te = y[te], x[te]
+    w, b = fit_maxent(x[tr], y[tr], len(classes), epochs=epochs, seed=seed)
+    pred = (x_te @ w + b).argmax(axis=1)
+
+    per_class = {}
+    for j, c in enumerate(classes):
+        tp = int(((pred == j) & (y_te == j)).sum())
+        fp = int(((pred == j) & (y_te != j)).sum())
+        fn = int(((pred != j) & (y_te == j)).sum())
+        p = tp / max(tp + fp, 1)
+        r = tp / max(tp + fn, 1)
+        per_class[c] = {
+            "precision": round(p, 4),
+            "recall": round(r, 4),
+            "f1": round(2 * p * r / max(p + r, 1e-12), 4),
+            "support": int((y_te == j).sum()),
+        }
+    majority = round(float(max(np.bincount(y_te).max(), 0) / max(len(y_te), 1)), 4)
+    return {
+        "n_examples": len(y),
+        "n_train": len(tr),
+        "n_test": len(y_te),
+        "accuracy": round(float((pred == y_te).mean()), 4),
+        "majority_baseline": majority,
+        "classes": per_class,
+    }

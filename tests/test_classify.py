@@ -140,3 +140,58 @@ def test_featurizer_validated():
             [0, 1],
             featurizer="Reference",
         )
+
+
+def test_extract_span_features_protocol():
+    """extractFeatures:293-337 full-context form: span tokens emit i:
+    unigrams (with suffixes), O-context participates only when its
+    2-char POS prefix is in the postag set, labeled context contributes
+    its LABEL at type_proportion=1, and a:/p: n-grams join with ','."""
+    rows = [
+        ("quickly", "RB", "O"),        # RB not in postags -> silent
+        ("acquired", "VBD", "O"),      # VB prefix -> shape feature
+        ("Google", "NNP", "I-ORG"),    # labeled context -> label itself
+        ("Percy", "NNP", "I-PER"),     # span start
+        ("Jackson", "NNP", "I-PER"),   # span end
+        ("visited", "VBD", "O"),       # VB prefix -> shape
+        ("Rome", "NNP", "O"),          # NN prefix -> shape
+    ]
+    feats = classify.extract_span_features(rows, 3, 4, ngram_sizes=(1, 2))
+    infix = [f for f in feats if f.startswith("i:")]
+    pre = [f for f in feats if f.startswith("a:")]
+    post = [f for f in feats if f.startswith("p:")]
+    # span: CAPLETTER-initial words -> shape class + s: suffix features
+    assert "i:s:rcy" in infix and "i:s:son" in infix
+    # pre-context: acquired's shape + Google's label, bigram joined by ','
+    assert "a:I-ORG" in pre
+    assert any("," in f for f in pre)          # 2-grams present
+    assert not any("RB" in f for f in pre)     # quickly filtered out
+    # post-context: visited & Rome shapes, no suffix features in context
+    assert post and not any(f.startswith("p:s:") for f in post)
+
+
+def test_extract_span_features_type_proportion_zero():
+    """type_proportion=0 degrades labeled context to its word shape
+    (the reference's Random() draw at the deterministic endpoint)."""
+    rows = [("Google", "NNP", "I-ORG"), ("Percy", "NNP", "I-PER")]
+    feats = classify.extract_span_features(rows, 1, 1, type_proportion=0.0)
+    assert not any("I-ORG" in f for f in feats)
+    assert any(f.startswith("a:") for f in feats)
+
+
+def test_calc_ngrams_short_sequence_fallback():
+    """calculateNgrams:383-401 — n longer than the sequence falls back
+    to one full-length gram; empty sequences yield nothing."""
+    assert classify._calc_ngrams(3, ["a", "b"], "x:") == ["x:a,b"]
+    assert classify._calc_ngrams(2, ["a", "b", "c"], "") == ["a,b", "b,c"]
+    assert classify._calc_ngrams(1, [], "x:") == []
+
+
+def test_fit_maxent_separable():
+    """The shared trainer drives training loss to the argmax on a
+    linearly separable toy problem."""
+    np = __import__("numpy")
+    x = np.array([[1, 0], [0.9, 0.1], [0, 1], [0.2, 0.8]], dtype=np.float32)
+    y = np.array([0, 0, 1, 1])
+    w, b = classify.fit_maxent(x, y, 2, epochs=200)
+    assert ((x @ w + b).argmax(axis=1) == y).all()
