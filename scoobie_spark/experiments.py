@@ -357,3 +357,117 @@ def predict_types_conll2003(
         "majority_baseline": majority,
         "classes": per_class,
     }
+
+
+# ---------------------------------------------------------------------------
+# InstanceRecognitionExperiment replay (wikipedia corpus)
+# ---------------------------------------------------------------------------
+
+def label_subjects(labels_corpus: DataFrame) -> DataFrame:
+    """(member, gt_uri) — the subjects of every ``rdfs:label`` statement
+    in each label member, through the real Turtle/N-Triples parser
+    (``WikipediaCorpus.extractLabels:54-70`` loads the member into a
+    Sesame store and lists ``RDFS.LABEL`` subjects). ``member`` is the
+    zip-member name (``dir/file``), the join key shared with the text
+    corpus."""
+    from .kb.rdfio import parse_turtle_text
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            members, subjects = [], []
+            for uri, text in zip(pdf["uri"].values, pdf["content"].values):
+                member = "/".join(uri.rsplit("/", 2)[-2:])
+                for s, p, _o, lit in parse_turtle_text(text):
+                    if p == RDFS_LABEL and lit is not None:
+                        members.append(member)
+                        subjects.append(s)
+            yield pd.DataFrame({"member": members, "gt_uri": subjects})
+
+    return labels_corpus.mapInPandas(gen, "member string, gt_uri string").distinct()
+
+
+def instance_recognition_experiment(
+    spark: SparkSession,
+    text_zip: str,
+    labels_zip: str,
+    resolver: str = "degree",
+) -> DataFrame:
+    """``InstanceRecognitionExperiment.testWikipediaCorpus:334-375``
+    replay: per-doc precision/recall of the RESOLVED instance-URI SET
+    (``InstanceRecognition.compare:257-305`` — set comparison at
+    pipeline step 10, no ranking, no lowercasing) against the subjects
+    of the doc's label file.
+
+    The reference queries its DBpedia Postgres instance; here the KB is
+    built from the union of the label dumps themselves — real DBpedia
+    N-Triples through the full A1-A9 path (zip scan → Turtle parse →
+    cleanse → dictionaries → encode), so the experiment also exercises
+    the RDF ingestion layer on authentic data. The experiment's
+    ``template1`` (``?s rdfs:label ?o`` with no GRAPH block) compiles to
+    an EMPTY FilterContext in the reference (the visitor only collects
+    patterns inside a named-graph context) — parity means no pushdown
+    filter here either.
+
+    Returns (member, precision, recall, f1, n_gt, n_found)."""
+    from . import linking, textproc
+    from .kb.etl import build_kb_from_string_triples
+    from .kb.rdfio import parse_rdf_zip
+
+    corpus = read_zip_corpus(spark, text_zip).localCheckpoint()
+    obj, dat = parse_rdf_zip(spark, labels_zip, "turtle")
+    kb = build_kb_from_string_triples(spark, obj, dat)
+    gt = label_subjects(read_zip_corpus(spark, labels_zip)).localCheckpoint()
+
+    docs = textproc.with_doc_id(
+        corpus.select(
+            F.lit(text_zip).alias("repo"),
+            F.col("uri").alias("path"),
+            F.lit("gt").alias("commit"),
+            "content",
+            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+        )
+    ).localCheckpoint()
+    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
+    resolved = linking.spot_resolve(cands, kb, resolver)
+
+    found = (
+        resolved.select("doc_id", "subject")
+        .distinct()
+        .join(kb.resources.withColumnRenamed("id", "subject"), "subject")
+        .join(
+            F.broadcast(docs.select("doc_id", "path")), "doc_id"
+        )
+        .select(
+            F.concat_ws("/", F.slice(F.split("path", "/"), -2, 2)).alias("member"),
+            F.col("uri").alias("found_uri"),
+        )
+    )
+    tp = (
+        found.join(
+            gt.withColumnRenamed("gt_uri", "found_uri"),
+            ["member", "found_uri"],
+            "left_semi",
+        )
+        .groupBy("member")
+        .agg(F.count("*").alias("tp"))
+    )
+    nf = found.groupBy("member").agg(F.count("*").alias("n_found"))
+    ng = gt.groupBy("member").agg(F.count("*").alias("n_gt"))
+    p = F.col("tp") / F.greatest(F.col("n_found"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("n_gt"), F.lit(1))
+    return (
+        ng.join(nf, "member", "left")
+        .join(tp, "member", "left")
+        .fillna(0)
+        .select(
+            "member",
+            F.round(p, 5).alias("precision"),
+            F.round(r, 5).alias("recall"),
+            F.round(
+                F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0), 5
+            ).alias("f1"),
+            "n_gt",
+            "n_found",
+        )
+    )

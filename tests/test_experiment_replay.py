@@ -125,3 +125,47 @@ def test_predict_types_conll2003_frozen():
     assert res["accuracy"] >= res["majority_baseline"]
     assert set(res["classes"]) <= {l for l, _ in E.conll2003_examples(
         E.read_conll2003(f"{_C03}/eng.testa.zip"))}
+
+
+# ---------------------------------------------------------------------------
+# InstanceRecognitionExperiment replay (wikipedia corpus)
+# ---------------------------------------------------------------------------
+
+_WP = "/root/reference/corpora/wikipedia"
+
+needs_wikipedia = pytest.mark.skipif(
+    not os.path.exists(f"{_WP}/wikipedia_text.zip"),
+    reason="reference wikipedia corpus not present",
+)
+
+
+@needs_wikipedia
+def test_instance_recognition_wikipedia_frozen(spark):
+    """testWikipediaCorpus replay: real DBpedia N-Triples label dumps
+    through the A1-A9 zip/Turtle ingestion as the KB, full
+    spot+link+disambiguate, per-doc SET P/R of resolved instance URIs
+    (InstanceRecognition.compare — no ranking, no lowercasing).
+    Deterministic, so the corpus means freeze exactly: P 0.6314 /
+    R 0.9458 / F1 0.7442 over 209 docs (3707 GT uris, 5247 found).
+    High recall = the KB carries every GT label; the precision gap is
+    the corpus-wide dictionary firing on other docs' labels — the same
+    behavior the reference's full-DBpedia deployment exhibits."""
+    res = E.instance_recognition_experiment(
+        spark, f"{_WP}/wikipedia_text.zip", f"{_WP}/wikipedia_labels.zip"
+    ).cache()
+    agg = res.agg(
+        F.round(F.avg("precision"), 4).alias("p"),
+        F.round(F.avg("recall"), 4).alias("r"),
+        F.round(F.avg("f1"), 4).alias("f1"),
+        F.count("*").alias("docs"),
+        F.sum("n_gt").alias("n_gt"),
+        F.sum("n_found").alias("n_found"),
+    ).first()
+    assert agg["docs"] == 209
+    assert agg["n_gt"] == 3707
+    assert agg["n_found"] == 5247
+    assert agg["p"] == pytest.approx(0.6314, abs=0.002)
+    assert agg["r"] == pytest.approx(0.9458, abs=0.002)
+    assert agg["f1"] == pytest.approx(0.7442, abs=0.002)
+    # every doc has labels and none scores a degenerate denominator
+    assert res.filter(F.col("n_gt") <= 0).count() == 0
