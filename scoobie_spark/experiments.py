@@ -386,6 +386,32 @@ def label_subjects(labels_corpus: DataFrame) -> DataFrame:
     return labels_corpus.mapInPandas(gen, "member string, gt_uri string").distinct()
 
 
+def _labeled_kb_corpus(spark: SparkSession, text_zip: str, labels_zip: str):
+    """Shared setup for the RDF-labeled corpora (wikipedia/bbc shape):
+    KB from the label dumps through the full A1-A9 zip/Turtle ingestion,
+    per-member rdfs:label ground truth, and the text corpus as an
+    id-stamped docs table. Returns (kb, gt, docs)."""
+    from . import textproc
+    from .kb.etl import build_kb_from_string_triples
+    from .kb.rdfio import parse_rdf_zip
+
+    corpus = read_zip_corpus(spark, text_zip).localCheckpoint()
+    obj, dat = parse_rdf_zip(spark, labels_zip, "turtle")
+    kb = build_kb_from_string_triples(spark, obj, dat)
+    gt = label_subjects(read_zip_corpus(spark, labels_zip)).localCheckpoint()
+
+    docs = textproc.with_doc_id(
+        corpus.select(
+            F.lit(text_zip).alias("repo"),
+            F.col("uri").alias("path"),
+            F.lit("gt").alias("commit"),
+            "content",
+            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+        )
+    ).localCheckpoint()
+    return kb, gt, docs
+
+
 def instance_recognition_experiment(
     spark: SparkSession,
     text_zip: str,
@@ -410,23 +436,8 @@ def instance_recognition_experiment(
 
     Returns (member, precision, recall, f1, n_gt, n_found)."""
     from . import linking, textproc
-    from .kb.etl import build_kb_from_string_triples
-    from .kb.rdfio import parse_rdf_zip
 
-    corpus = read_zip_corpus(spark, text_zip).localCheckpoint()
-    obj, dat = parse_rdf_zip(spark, labels_zip, "turtle")
-    kb = build_kb_from_string_triples(spark, obj, dat)
-    gt = label_subjects(read_zip_corpus(spark, labels_zip)).localCheckpoint()
-
-    docs = textproc.with_doc_id(
-        corpus.select(
-            F.lit(text_zip).alias("repo"),
-            F.col("uri").alias("path"),
-            F.lit("gt").alias("commit"),
-            "content",
-            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
-        )
-    ).localCheckpoint()
+    kb, gt, docs = _labeled_kb_corpus(spark, text_zip, labels_zip)
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
     cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
     resolved = linking.spot_resolve(cands, kb, resolver)
@@ -471,3 +482,34 @@ def instance_recognition_experiment(
             "n_found",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DisambiguationExperiment replay (per-resolver comparison)
+# ---------------------------------------------------------------------------
+
+def disambiguation_experiment(
+    spark: SparkSession,
+    text_zip: str,
+    labels_zip: str,
+    resolvers: list[str] | None = None,
+) -> list[dict]:
+    """``DisambiguationExperiment.testWikipediaCorpus:254-290`` replay:
+    every graph resolver (random, HITS, HITS2, pagerank, hub, authority,
+    flow, degree — the experiment's resolver array at
+    DisambiguationExperiment.java:142-146) evaluated side by side with
+    ``EntityDisambiguation.compare:467-566``'s protocol: ground truth
+    restricted to URIs that are actually AMBIGUOUS in the corpus (spans
+    whose literal maps to >1 candidate subject), P/R of each resolver's
+    surviving subjects against that set.
+
+    KB and ground truth come from the corpus's own RDF label dumps via
+    :func:`_labeled_kb_corpus` (the reference queries full DBpedia).
+    Pooling is corpus-wide rather than the reference's per-doc CSV
+    lines — same comparisons, one aggregate per resolver. Returns
+    ``evaluate.resolver_pr``'s one-dict-per-resolver list."""
+    from .evaluate import resolver_pr
+
+    kb, gt, docs = _labeled_kb_corpus(spark, text_zip, labels_zip)
+    gt_uris = {r["gt_uri"] for r in gt.select("gt_uri").distinct().collect()}
+    return resolver_pr(docs, kb, gt_uris, resolvers)

@@ -169,3 +169,35 @@ def test_instance_recognition_wikipedia_frozen(spark):
     assert agg["f1"] == pytest.approx(0.7442, abs=0.002)
     # every doc has labels and none scores a degenerate denominator
     assert res.filter(F.col("n_gt") <= 0).count() == 0
+
+
+@needs_wikipedia
+def test_disambiguation_experiment_frozen(spark):
+    """DisambiguationExperiment replay over the wikipedia corpus: the
+    eight graph resolvers compared with EntityDisambiguation.compare's
+    ambiguous-set protocol. Precision pools to 1.0 by construction (the
+    KB is built from the GT dumps, so every ambiguous candidate is GT
+    somewhere in the corpus) — RECALL is the discriminating signal, and
+    it freezes exactly: degree/pagerank/authority/hits2 resolve 56 of
+    the 99 ambiguous GT uris, flow/hub/hits 53, random 52. Every graph
+    resolver beats random, degree ties the eigenvector family — the
+    reference experiment's published conclusion."""
+    res = E.disambiguation_experiment(
+        spark, f"{_WP}/wikipedia_text.zip", f"{_WP}/wikipedia_labels.zip"
+    )
+    by = {r["resolver"]: r for r in res}
+    assert set(by) == {
+        "degree", "flow", "pagerank", "hub", "authority", "hits", "hits2", "random"
+    }
+    assert all(r["n_gt"] == 99 for r in res)
+    assert all(r["precision"] == 1.0 for r in res)
+    assert by["degree"]["n_found"] == 56
+    assert by["pagerank"]["n_found"] == 56
+    assert by["authority"]["n_found"] == 56
+    assert by["hits2"]["n_found"] == 56
+    assert by["flow"]["n_found"] == 53
+    assert by["hub"]["n_found"] == 53
+    assert by["hits"]["n_found"] == 53
+    assert by["random"]["n_found"] == 52
+    assert all(r["recall"] > by["random"]["recall"] or r["resolver"] == "random"
+               for r in res)
