@@ -227,19 +227,25 @@ def build_kb_from_string_triples(
 
 
 def build_kb_from_dumps(
-    spark: SparkSession, path: str, fmt: str = "ntriples", zipped: bool = False
+    spark: SparkSession,
+    path: str,
+    fmt: str = "ntriples",
+    zipped: bool = False,
+    base: str | None = None,
 ) -> KB:
     """A1-A10 end to end from RDF dumps. ``fmt`` ∈ {ntriples, turtle,
     rdfxml} (RDFTripleParser.java:84-99 media-type switch; gz/bz2 are
-    transparent, ``zipped=True`` expands zip containers)."""
+    transparent, ``zipped=True`` expands zip containers). ``base``
+    resolves relative references in RDF/XML dumps (Sesame's baseURI
+    argument)."""
     if fmt == "ntriples":
         obj, dat = parse_ntriples(spark, path)
     else:
         from .rdfio import parse_rdf_files, parse_rdf_zip
 
         obj, dat = (
-            parse_rdf_zip(spark, path, fmt)
+            parse_rdf_zip(spark, path, fmt, base)
             if zipped
-            else parse_rdf_files(spark, path, fmt)
+            else parse_rdf_files(spark, path, fmt, base)
         )
     return build_kb_from_string_triples(spark, obj, dat)

@@ -139,15 +139,26 @@ def parse_turtle_text(text: str) -> list[tuple[str, str, str | None, str | None]
     return triples
 
 
-def parse_rdfxml_text(text: str) -> list[tuple[str, str, str | None, str | None]]:
+def parse_rdfxml_text(
+    text: str, base: str | None = None
+) -> list[tuple[str, str, str | None, str | None]]:
     """One RDF/XML document → [(s, p, o_uri|None, literal|None)].
     Node elements with rdf:about; typed node names become rdf:type
-    triples; property elements carry rdf:resource or literal text."""
+    triples; property elements carry rdf:resource or literal text.
+    ``base`` resolves relative rdf:about/rdf:resource references, like
+    Sesame's ``conn.add(in, baseURI, ...)`` (the BBC corpora use
+    document-relative URIs, loaded against ``http://www.bbc.co.uk/``
+    at BBCNatureCorpus.java:95)."""
     import xml.etree.ElementTree as ET
+    from urllib.parse import urljoin
 
     def expand(tag: str) -> str:
         # ElementTree gives '{ns}local'
         return tag[1:].replace("}", "") if tag.startswith("{") else tag
+
+    def resolve(uri: str) -> str:
+        # scheme-qualified refs pass through urljoin unchanged
+        return urljoin(base, uri) if base else uri
 
     root = ET.fromstring(text)
     triples: list[tuple[str, str, str | None, str | None]] = []
@@ -157,6 +168,7 @@ def parse_rdfxml_text(text: str) -> list[tuple[str, str, str | None, str | None]
         subj = node.get(about_attr)
         if subj is None:
             continue
+        subj = resolve(subj)
         node_type = expand(node.tag)
         if node_type != RDF_NS + "Description":
             triples.append((subj, RDF_NS + "type", node_type, None))
@@ -164,13 +176,21 @@ def parse_rdfxml_text(text: str) -> list[tuple[str, str, str | None, str | None]
             pred = expand(prop.tag)
             res = prop.get(resource_attr)
             if res is not None:
-                triples.append((subj, pred, res, None))
+                triples.append((subj, pred, resolve(res), None))
             elif prop.text is not None and prop.text.strip():
                 triples.append((subj, pred, None, prop.text.strip()))
     return triples
 
 
 _PARSERS = {"turtle": parse_turtle_text, "rdfxml": parse_rdfxml_text}
+
+
+def _parser(fmt: str, base: str | None):
+    if base is not None:
+        if fmt != "rdfxml":
+            raise ValueError("base resolution is only supported for rdfxml")
+        return lambda t: parse_rdfxml_text(t, base)
+    return _PARSERS[fmt]
 
 
 def _to_frames(parsed) -> pd.DataFrame:
@@ -180,13 +200,13 @@ def _to_frames(parsed) -> pd.DataFrame:
 
 
 def parse_rdf_files(
-    spark: SparkSession, path: str, fmt: str = "turtle"
+    spark: SparkSession, path: str, fmt: str = "turtle", base: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Distributed parse of Turtle / RDF-XML dumps (gz/bz2 transparent)
     → (object_triples(s,p,o), datatype_triples(s,p,literal)) — the A4
     split, same contract as :func:`scoobie_spark.kb.etl.parse_ntriples`.
     One task per file; statements never cross files."""
-    parse = _PARSERS[fmt]
+    parse = _parser(fmt, base)
     files = spark.read.text(path, wholetext=True)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -198,7 +218,7 @@ def parse_rdf_files(
 
 
 def parse_rdf_zip(
-    spark: SparkSession, path: str, fmt: str = "turtle"
+    spark: SparkSession, path: str, fmt: str = "turtle", base: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Zip-container variant (RDFTripleParser's ZipArchiveInputStream
     case): binaryFile scan → per-member decode + parse inside the Arrow
@@ -206,15 +226,17 @@ def parse_rdf_zip(
     import io
     import zipfile
 
-    parse = _PARSERS[fmt]
+    parse = _parser(fmt, base)
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for blob in pdf["content"]:
                 with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-                    for name in zf.namelist():
-                        text = zf.read(name).decode("utf-8", errors="replace")
+                    for info in zf.infolist():
+                        if info.is_dir():
+                            continue
+                        text = zf.read(info).decode("utf-8", errors="replace")
                         yield _to_frames(parse(text))
 
     return _split(files.mapInPandas(gen, TRIPLES_SCHEMA))

@@ -205,3 +205,50 @@ def test_turtle_glued_statement_terminator():
     assert ("http://e/s3", "http://e/p3", None, "5") in t
     assert ("http://e/s4", "http://e/p4", None, "x") in t
     assert len(t) == 4
+
+
+_BBC = "/root/reference/corpora/bbc_nature/bbc_nature_labels.zip"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_BBC),
+    reason="reference bbc_nature corpus not present",
+)
+def test_rdfxml_base_resolution_bbc_nature(spark):
+    """The A1 RDF/XML path on 1175 REAL BBC label files: relative
+    rdf:about/rdf:resource references resolve against the base URI
+    (Sesame's ``conn.add(in, "http://www.bbc.co.uk/", RDFXML)`` at
+    BBCNatureCorpus.java:95), typed node elements become rdf:type
+    triples, and the full A2-A9 ETL produces a frozen KB: 17028
+    resources / 9490 literals / 56581 relations / 18065 symbols
+    (cleansing drops the >120-char image URLs and >100-char
+    description literals, per RDFTripleParser.java:205-244)."""
+    from pyspark.sql import functions as F
+
+    kb = build_kb_from_dumps(
+        spark, _BBC, fmt="rdfxml", zipped=True, base="http://www.bbc.co.uk/"
+    )
+    assert kb.resources.count() == 17028
+    assert kb.literals.count() == 9490
+    assert kb.relations.count() == 56581
+    assert kb.symbols.count() == 18065
+    # every relative reference resolved; scheme-qualified ones untouched
+    assert kb.resources.filter(F.col("uri").startswith("/")).count() == 0
+    assert (
+        kb.resources.filter(
+            F.col("uri").startswith("http://www.bbc.co.uk/nature/")
+        ).count()
+        > 3000
+    )
+    lbl = kb.resources.filter(
+        F.col("uri") == "http://www.w3.org/2000/01/rdf-schema#label"
+    ).first()
+    assert lbl is not None
+    assert kb.symbols.filter(F.col("p") == lbl["id"]).count() == 4173
+
+
+def test_base_resolution_rejected_for_turtle():
+    from scoobie_spark.kb.rdfio import _parser
+
+    with pytest.raises(ValueError):
+        _parser("turtle", "http://example.org/")
