@@ -438,22 +438,33 @@ def instance_recognition_experiment(
     from . import linking, textproc
 
     kb, gt, docs = _labeled_kb_corpus(spark, text_zip, labels_zip)
+    found = _resolved_uris(docs, kb, resolver)
+    return _per_member_set_pr(found, gt)
+
+
+def _resolved_uris(docs: DataFrame, kb, resolver: str) -> DataFrame:
+    """(member, found_uri): the distinct resolved instance-URI set per
+    document, member-keyed (``Document.getResolvedSubjects``)."""
+    from . import linking, textproc
+
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
     cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
     resolved = linking.spot_resolve(cands, kb, resolver)
-
-    found = (
+    return (
         resolved.select("doc_id", "subject")
         .distinct()
         .join(kb.resources.withColumnRenamed("id", "subject"), "subject")
-        .join(
-            F.broadcast(docs.select("doc_id", "path")), "doc_id"
-        )
+        .join(F.broadcast(docs.select("doc_id", "path")), "doc_id")
         .select(
             F.concat_ws("/", F.slice(F.split("path", "/"), -2, 2)).alias("member"),
             F.col("uri").alias("found_uri"),
         )
     )
+
+
+def _per_member_set_pr(found: DataFrame, gt: DataFrame) -> DataFrame:
+    """Per-member SET precision/recall/F1 of (member, found_uri) against
+    (member, gt_uri) — InstanceRecognition.compare:257-305."""
     tp = (
         found.join(
             gt.withColumnRenamed("gt_uri", "found_uri"),
@@ -482,6 +493,55 @@ def instance_recognition_experiment(
             "n_found",
         )
     )
+
+
+def gutenberg_experiment(
+    spark: SparkSession, corpus_zip: str, resolver: str = "degree"
+) -> DataFrame:
+    """``InstanceRecognitionExperiment.testGutenbergCorpus:148-189``
+    replay: anchor-labeled HTML book chapters, same zip for text and
+    labels. Ground truth is GutenbergCorpus's pattern with its
+    ``/page/ → /resource/`` rewrite (``GutenbergCorpus.extractLabels:
+    52-68``), NOT lowercased (InstanceRecognition.compare compares raw
+    strings); the anchor-derived KB gets the same rewrite so its ids
+    are /resource/-canonical like the reference's DBpedia instance.
+    Returns the per-member set-P/R table."""
+    from . import textproc
+
+    corpus = (
+        read_zip_corpus(spark, corpus_zip)
+        .withColumn(
+            "content",
+            F.regexp_replace(
+                "content", r"dbpedia\.org/page/", "dbpedia.org/resource/"
+            ),
+        )
+        .localCheckpoint()
+    )
+    kb = kb_from_anchors(spark, corpus)
+    gt = (
+        corpus.select(
+            "uri",
+            F.explode(
+                F.regexp_extract_all("content", F.lit(_GT_PATTERN), 1)
+            ).alias("gt_uri"),
+        )
+        .select(
+            F.concat_ws("/", F.slice(F.split("uri", "/"), -2, 2)).alias("member"),
+            "gt_uri",
+        )
+        .distinct()
+    )
+    docs = textproc.with_doc_id(
+        corpus.select(
+            F.lit(corpus_zip).alias("repo"),
+            F.col("uri").alias("path"),
+            F.lit("gt").alias("commit"),
+            "content",
+            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+        )
+    ).localCheckpoint()
+    return _per_member_set_pr(_resolved_uris(docs, kb, resolver), gt)
 
 
 # ---------------------------------------------------------------------------

@@ -201,3 +201,39 @@ def test_disambiguation_experiment_frozen(spark):
     assert by["random"]["n_found"] == 52
     assert all(r["recall"] > by["random"]["recall"] or r["resolver"] == "random"
                for r in res)
+
+
+# ---------------------------------------------------------------------------
+# InstanceRecognitionExperiment replay (gutenberg corpus)
+# ---------------------------------------------------------------------------
+
+_GB = "/root/reference/corpora/gutenberg/gutenberg_text_labels.zip"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_GB), reason="reference gutenberg corpus not present"
+)
+def test_gutenberg_experiment_frozen(spark):
+    """testGutenbergCorpus replay: 13 anchor-labeled book chapters,
+    /page/→/resource/ GT rewrite, anchor-derived KB, per-doc set P/R.
+    Frozen: P 0.8117 / R 0.9682 / F1 0.8746 (174 GT uris, 206 found).
+    Higher precision than wikinews/wikipedia — book chapters share far
+    fewer cross-document entities, so the corpus-wide dictionary
+    over-fires less."""
+    res = E.gutenberg_experiment(spark, _GB).cache()
+    agg = res.agg(
+        F.round(F.avg("precision"), 4).alias("p"),
+        F.round(F.avg("recall"), 4).alias("r"),
+        F.round(F.avg("f1"), 4).alias("f1"),
+        F.count("*").alias("docs"),
+        F.sum("n_gt").alias("n_gt"),
+        F.sum("n_found").alias("n_found"),
+    ).first()
+    assert agg["docs"] == 13
+    assert agg["n_gt"] == 174
+    assert agg["n_found"] == 206
+    assert agg["p"] == pytest.approx(0.8117, abs=0.002)
+    assert agg["r"] == pytest.approx(0.9682, abs=0.002)
+    assert agg["f1"] == pytest.approx(0.8746, abs=0.002)
+    # the /page/ rewrite reached both GT and KB: no /page/ uris anywhere
+    assert res.count() == 13
