@@ -33,6 +33,7 @@ def streaming_extract(
     out_dir: str,
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    config: PipelineConfig | None = None,
 ):
     """Run the KG-construction pipeline continuously over a streaming
     corpus; returns the StreamingQuery. Triples land in ``out_dir``
@@ -41,13 +42,30 @@ def streaming_extract(
     not, so the write is a dynamic partition OVERWRITE of that batch's
     own partitions — a replayed batch rewrites exactly its previous
     output instead of appending duplicates (the idempotence the
-    batch_id contract requires of the sink)."""
+    batch_id contract requires of the sink).
+
+    ``config`` carries the full batch-pipeline surface (resolver,
+    SPARQL template, trained NP-chunker gate, ...) into every
+    micro-batch; ``materialize_kb`` is forced off (the KB is cut once
+    here, not per batch) and per-stage ``checkpoint_dir`` resume is
+    unsupported inside foreachBatch (batches would collide on the same
+    stage files), so it is rejected."""
+    import dataclasses
+
+    if config is not None and config.checkpoint_dir is not None:
+        raise ValueError(
+            "PipelineConfig.checkpoint_dir is not supported under "
+            "streaming_extract — batches would collide on stage files; "
+            "use the streaming checkpoint_dir argument instead"
+        )
     kb = kb.materialize()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        cfg = PipelineConfig(materialize_kb=False)
+        cfg = dataclasses.replace(
+            config or PipelineConfig(), materialize_kb=False
+        )
         triples = extract_triples(spark, batch_df, kb, cfg)
         (
             triples.withColumn("batch_id", F.lit(batch_id))

@@ -255,3 +255,39 @@ def test_template_infer_type_substitution(spark):
     assert ctx.types == {cl_map.get(x, x) for x in before}
     # the cluster's high-rated labeling property joined the filter
     assert ctx.datatype_properties
+
+
+def test_streaming_extract_with_chunker_config(spark, tmp_path):
+    """The streaming path accepts the full PipelineConfig surface: with
+    the trained conll2000 NP-chunker gate on, the streamed triple set
+    equals the batch run under the same config (and checkpoint_dir in
+    the pipeline config is rejected — batches would collide)."""
+    from scoobie_spark.pipeline import PipelineConfig
+
+    docs = micro_docs(spark)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    kb = micro_kb(spark)
+    cfg = PipelineConfig(np_candidate_filter="chunker")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    with pytest.raises(ValueError):
+        streaming.streaming_extract(
+            spark, stream, kb, str(tmp_path / "o2"), str(tmp_path / "c2"),
+            config=PipelineConfig(checkpoint_dir=str(tmp_path / "bad")),
+        )
+    q = streaming.streaming_extract(
+        spark, stream, kb, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        config=cfg,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["graph"], r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch = {
+        (r["graph"], r["subj"], r["pred"], r["obj"])
+        for r in extract_triples(spark, docs, kb, cfg).collect()
+    }
+    assert got == batch and got
