@@ -239,6 +239,8 @@ def build_kb_from_dumps(
     resolves relative references in RDF/XML dumps (Sesame's baseURI
     argument)."""
     if fmt == "ntriples":
+        if base is not None:
+            raise ValueError("base resolution is only supported for rdfxml")
         obj, dat = parse_ntriples(spark, path)
     else:
         from .rdfio import parse_rdf_files, parse_rdf_zip

@@ -252,3 +252,8 @@ def test_base_resolution_rejected_for_turtle():
 
     with pytest.raises(ValueError):
         _parser("turtle", "http://example.org/")
+
+
+def test_base_resolution_rejected_for_ntriples(spark):
+    with pytest.raises(ValueError):
+        build_kb_from_dumps(spark, "/nonexistent", fmt="ntriples", base="http://x/")
