@@ -237,3 +237,54 @@ def test_gutenberg_experiment_frozen(spark):
     assert agg["f1"] == pytest.approx(0.8746, abs=0.002)
     # the /page/ rewrite reached both GT and KB: no /page/ uris anywhere
     assert res.count() == 13
+
+
+# ---------------------------------------------------------------------------
+# ProperNameExperiment replay (bbc_nature corpus)
+# ---------------------------------------------------------------------------
+
+_BBC = "/root/reference/corpora/bbc_nature/bbc_nature_labels.zip"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_BBC), reason="reference bbc_nature corpus not present"
+)
+def test_proper_name_experiment_frozen(spark):
+    """testOnBBCNature replay: the full A14+A15 statistics layer over
+    the real 1175-file RDF/XML wildlife dump (45k typed-node rdf:type
+    triples, 38 wo:/po:/foaf: types). Frozen: 54 (cluster, property)
+    rating rows over 36 rated clusters (of 37 avg-link clusters — one
+    carries no symbols-bearing property); the reference's published
+    finding reproduces — canonical naming properties out-rate
+    descriptive ones (wo:commonName ~0.988 vs dc:description best ~0.056)."""
+    pnr = E.proper_name_experiment(spark, _BBC).cache()
+    assert pnr.count() == 54
+    assert pnr.select("cluster").distinct().count() == 36
+
+    # decode property ids and pool each property's best rating
+    from scoobie_spark.kb.etl import build_kb_from_string_triples
+    from scoobie_spark.kb.rdfio import parse_rdf_zip
+
+    obj, dat = parse_rdf_zip(spark, _BBC, "rdfxml")
+    kb = build_kb_from_string_triples(spark, obj, dat)
+    best = {
+        r["uri"]: r["best"]
+        for r in pnr.join(
+            kb.resources.select(F.col("id").alias("property"), "uri"), "property"
+        )
+        .groupBy("uri")
+        .agg(F.max("rating").alias("best"))
+        .collect()
+    }
+    wo = "http://purl.org/ontology/wo/"
+    assert best[wo + "commonName"] == pytest.approx(0.9877, abs=0.002)
+    assert best[wo + "scientificName"] == pytest.approx(0.9566, abs=0.002)
+    assert best["http://www.w3.org/2000/01/rdf-schema#label"] == pytest.approx(
+        0.6281, abs=0.002
+    )
+    # the experiment's conclusion: naming beats describing, with margin
+    assert best["http://purl.org/dc/terms/description"] == pytest.approx(
+        0.0558, abs=0.002
+    )
+    # idf defaults to the rating-neutral 1.0 (no text corpus bundled)
+    assert pnr.filter(F.col("idf") != 1.0).count() == 0
