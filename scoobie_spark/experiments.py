@@ -223,6 +223,121 @@ def scoobie_experiment(
 
 
 # ---------------------------------------------------------------------------
+# RelevanceRatingExperiment replay
+# ---------------------------------------------------------------------------
+
+def relevance_rating_experiment(
+    spark: SparkSession,
+    corpus_zip: str,
+    metrics: list[str] | None = None,
+    resolver: str = "degree",
+) -> DataFrame:
+    """``RelevanceRatingExperiment.testWikinewsCorpus:221-275`` replay:
+    run the full pipeline, score every resolved subject with ALL nine
+    rating metrics (the experiment's RatingMetric array,
+    RelevanceRatingExperiment.java:188-200), and report — per document
+    and per metric — the reference's ``RelevanceRating.compare:90-141``
+    protocol: average precision of the metric-ranked subject list
+    against the document's ground-truth URIs
+    (``DoubleMatrix.averagePrecision:123-157``: sum of precision@hit
+    over the full ranking, divided by |GT|), plus the rank-independent
+    set precision/recall of ``DoubleMatrix.precision/recall:159-191``.
+
+    |GT| counts only URIs resolvable in the KB (the reference's
+    ``kb.getUriIndex(line)`` throws — and is skipped — for unknown
+    URIs). Ranking ties break by URI ascending (the reference's stable
+    sort leaves ties in row-key insertion order, which is not
+    reproducible; URI order is). Returns one row per
+    (doc_uri, metric): (uri, metric, ap, precision, recall, n_gt,
+    n_found). Corpus MAP per metric = avg(ap) over docs — the
+    experiment's ``relevance_*_combined.csv`` aggregate."""
+    from pyspark.sql import Window
+
+    from . import linking, rating, textproc
+
+    metrics = metrics or list(rating.ALL_METRICS)
+    corpus = read_zip_corpus(spark, corpus_zip).localCheckpoint()
+    kb = kb_from_anchors(spark, corpus)
+    gt = ground_truth(corpus)
+
+    docs = textproc.with_doc_id(
+        corpus.select(
+            F.lit(corpus_zip).alias("repo"),
+            F.col("uri").alias("path"),
+            F.lit("gt").alias("commit"),
+            "content",
+            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+        )
+    ).localCheckpoint()
+    kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
+    cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
+    resolved = linking.spot_resolve(cands, kb, resolver).localCheckpoint()
+    wide = rating.relevance_scores(
+        resolved, kb, docs.select("doc_id", "content"), metrics=metrics
+    )
+
+    # wide → long: one (doc_id, subject, metric, value) row per metric
+    stack = F.expr(
+        "stack({n}, {args}) as (metric, value)".format(
+            n=len(metrics), args=", ".join(f"'{m}', {m}" for m in metrics)
+        )
+    )
+    ids = docs.select("doc_id", F.col("path").alias("uri"))
+    long = (
+        wide.select("doc_id", "subject", stack)
+        .join(
+            kb.resources.select(
+                F.col("id").alias("subject"), F.lower("uri").alias("found_uri")
+            ),
+            "subject",
+        )
+        .join(F.broadcast(ids), "doc_id")
+    )
+
+    # GT restricted to KB-resolvable URIs, as getUriIndex enforces
+    kb_uris = kb.resources.select(F.lower("uri").alias("gt_uri")).distinct()
+    gt_in_kb = gt.join(kb_uris, "gt_uri", "left_semi")
+    ng = gt_in_kb.groupBy("uri").agg(F.countDistinct("gt_uri").alias("n_gt"))
+
+    rel = long.join(
+        gt_in_kb.withColumnRenamed("gt_uri", "found_uri").withColumn(
+            "is_rel", F.lit(1)
+        ),
+        ["uri", "found_uri"],
+        "left",
+    ).fillna(0, subset=["is_rel"])
+    w = Window.partitionBy("uri", "metric").orderBy(
+        F.col("value").desc(), F.col("found_uri")
+    )
+    ranked = rel.withColumn("rank", F.row_number().over(w)).withColumn(
+        "cum_rel", F.sum("is_rel").over(w)
+    )
+    per_doc = ranked.groupBy("uri", "metric").agg(
+        F.sum(
+            F.when(F.col("is_rel") == 1, F.col("cum_rel") / F.col("rank")).otherwise(
+                0.0
+            )
+        ).alias("ap_sum"),
+        F.sum("is_rel").alias("tp"),
+        F.count("*").alias("n_found"),
+    )
+    return (
+        per_doc.join(ng, "uri")
+        .select(
+            "uri",
+            "metric",
+            F.round(F.col("ap_sum") / F.greatest("n_gt", F.lit(1)), 5).alias("ap"),
+            F.round(F.col("tp") / F.greatest("n_found", F.lit(1)), 5).alias(
+                "precision"
+            ),
+            F.round(F.col("tp") / F.greatest("n_gt", F.lit(1)), 5).alias("recall"),
+            "n_gt",
+            "n_found",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PredictTypesOnConll2003Experiment replay
 # ---------------------------------------------------------------------------
 

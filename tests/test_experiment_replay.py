@@ -288,3 +288,45 @@ def test_proper_name_experiment_frozen(spark):
     )
     # idf defaults to the rating-neutral 1.0 (no text corpus bundled)
     assert pnr.filter(F.col("idf") != 1.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# RelevanceRatingExperiment replay (wikinews corpus)
+# ---------------------------------------------------------------------------
+
+
+@needs_corpus
+def test_relevance_rating_experiment_frozen(spark):
+    """testWikinewsCorpus replay of RelevanceRating.compare: per-doc
+    average precision of each of the nine metric-ranked subject lists
+    vs the anchor ground truth, pooled to corpus MAP. Deterministic
+    (random = the splitmix hash metric), so the per-metric MAPs freeze:
+    idf 0.7562 > position 0.7181 > tf 0.7043 — the document-signal
+    metrics beat every pure graph metric (degree family ~0.65), the
+    experiment's published motivation for fusing corpus and graph
+    signals. Set P/R are rank-independent and equal across metrics."""
+    res = E.relevance_rating_experiment(
+        spark, _ZIP
+    ).cache()
+    assert res.count() == 891  # 99 docs x 9 metrics
+    maps = {
+        r["metric"]: r["map"]
+        for r in res.groupBy("metric")
+        .agg(F.round(F.avg("ap"), 4).alias("map"))
+        .collect()
+    }
+    assert len(maps) == 9
+    assert maps["idf"] == pytest.approx(0.7562, abs=0.002)
+    assert maps["position"] == pytest.approx(0.7181, abs=0.002)
+    assert maps["tf"] == pytest.approx(0.7043, abs=0.002)
+    assert maps["capacity"] == pytest.approx(0.6476, abs=0.002)
+    assert maps["degree"] == pytest.approx(0.6536, abs=0.002)
+    # document-signal metrics out-rank every pure graph metric
+    for doc_m in ("idf", "position", "tf"):
+        for graph_m in ("degree", "capacity", "pagerank", "authority", "hub"):
+            assert maps[doc_m] > maps[graph_m]
+    # P/R are set-level: identical for every metric of a doc
+    assert (
+        res.groupBy("uri").agg(F.countDistinct("precision").alias("n"))
+        .filter(F.col("n") > 1).count() == 0
+    )
