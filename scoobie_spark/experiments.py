@@ -223,6 +223,43 @@ def scoobie_experiment(
 
 
 # ---------------------------------------------------------------------------
+# ClusterTypesExperiment replay
+# ---------------------------------------------------------------------------
+
+def cluster_types_experiment(
+    spark: SparkSession,
+    labels_zip: str,
+    fmt: str = "rdfxml",
+    samples: int = 10,
+    threshold: float = 0.175,
+) -> DataFrame:
+    """``ClusterTypesExperiment.testHierarchicalClusteringBBCNature:
+    123-131`` replay: ``kb.clusterCorrelatingClasses(10, 0.9, 0.175)``
+    (PostgresKB.java:1541-1604) — sample instances per type, Pearson
+    correlation of type co-membership, hierarchical clustering, every
+    unclustered type becomes its own singleton — over the KB built from
+    the corpus's real label dump. Returns (type, cluster, type_uri).
+
+    On the real bbc_nature ontology the experiment's purpose (merging
+    correlated/synonymous classes) reproduces exactly: every instance
+    carries ONE wildlife-ontology type except the eight double-typed
+    wo:Ecozone/wo:Ecozones members, so the clustering discovers exactly
+    that synonym merge and leaves the other 36 classes as singletons —
+    38 types → 37 clusters."""
+    from .kb import stats
+    from .kb.etl import build_kb_from_string_triples
+    from .kb.rdfio import parse_rdf_zip
+
+    obj, dat = parse_rdf_zip(spark, labels_zip, fmt)
+    kb = build_kb_from_string_triples(spark, obj, dat)
+    cl = stats.type_clusters(kb, sample_per_type=samples, threshold=threshold)
+    return cl.join(
+        kb.resources.select(F.col("id").alias("type"), F.col("uri").alias("type_uri")),
+        "type",
+    )
+
+
+# ---------------------------------------------------------------------------
 # RelevanceRatingExperiment replay
 # ---------------------------------------------------------------------------
 

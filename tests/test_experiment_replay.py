@@ -330,3 +330,28 @@ def test_relevance_rating_experiment_frozen(spark):
         res.groupBy("uri").agg(F.countDistinct("precision").alias("n"))
         .filter(F.col("n") > 1).count() == 0
     )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_BBC), reason="reference bbc_nature corpus not present"
+)
+def test_cluster_types_experiment_frozen(spark):
+    """testHierarchicalClusteringBBCNature replay with the reference's
+    countSamples=10: the clustering's purpose — merging correlated /
+    synonymous classes — reproduces on the real ontology. Frozen: 38
+    types → 37 clusters; the single merge is the wo:Ecozone/wo:Ecozones
+    synonym pair (the only double-typed instances in the dump); every
+    other class is a singleton."""
+    cl = E.cluster_types_experiment(spark, _BBC).cache()
+    assert cl.count() == 38
+    assert cl.select("cluster").distinct().count() == 37
+    merged = (
+        cl.groupBy("cluster")
+        .agg(F.collect_set("type_uri").alias("uris"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(merged) == 1
+    assert sorted(u.rsplit("/", 1)[-1] for u in merged[0]["uris"]) == [
+        "Ecozone", "Ecozones"
+    ]
