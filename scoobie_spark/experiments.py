@@ -260,6 +260,63 @@ def cluster_types_experiment(
 
 
 # ---------------------------------------------------------------------------
+# PredictTypesExperiment replay
+# ---------------------------------------------------------------------------
+
+def predict_types_experiment(
+    spark: SparkSession,
+    labels_zip: str,
+    fmt: str = "rdfxml",
+    sample_per_class: int = 10000,
+    holdout_mod: int = 5,
+) -> dict:
+    """``PredictTypesExperiment.trainWikinewsClassifier:221-243`` (and
+    the trainGutenberg/trainBBCMusic variants) replay: label entity
+    literals with their KB ``rdf:type`` (``labelRDFTypes``), train the
+    B14 maxent on (literal → type), measure held-out accuracy. The
+    reference trains against full DBpedia; this replay uses the
+    corpus's own real label dump as the KB (the bundled bbc_nature dump
+    carries 37 trainable wildlife-ontology classes).
+
+    The deterministic 1/``holdout_mod`` split hashes the literal
+    (xxhash64 mod), so metrics freeze. Returns {accuracy,
+    majority_baseline, n_train, n_test, n_classes}."""
+    import numpy as np
+
+    from . import classify
+    from .kb.etl import build_kb_from_string_triples
+    from .kb.rdfio import parse_rdf_zip
+
+    obj, dat = parse_rdf_zip(spark, labels_zip, fmt)
+    kb = build_kb_from_string_triples(spark, obj, dat)
+    pairs = classify.training_pairs(kb, sample_per_class=sample_per_class)
+    pairs = pairs.withColumn("h", F.pmod(F.xxhash64("literal"), F.lit(holdout_mod)))
+    train = pairs.filter(F.col("h") != 0).drop("h")
+    test_rows = pairs.filter(F.col("h") == 0).drop("h").collect()
+
+    clf = classify.train_entity_classifier(train)
+    texts = [r["literal"] for r in test_rows]
+    y = [r["cls"] for r in test_rows]
+    proba = clf.predict_proba(texts)
+    pred = [clf.classes[i] for i in np.argmax(proba, axis=1)]
+    acc = float(np.mean([p == t for p, t in zip(pred, y)]))
+
+    counts = {
+        r["cls"]: r["n"]
+        for r in train.groupBy("cls").agg(F.count("*").alias("n")).collect()
+    }
+    majority = max(sorted(counts), key=counts.get)
+    base = float(np.mean([t == majority for t in y]))
+    return {
+        "accuracy": acc,
+        "majority_baseline": base,
+        "n_train": sum(counts.values()),
+        "n_test": len(test_rows),
+        "n_classes": len(clf.classes),
+    }
+
+
+# ---------------------------------------------------------------------------
 # RelevanceRatingExperiment replay
 # ---------------------------------------------------------------------------
 
