@@ -260,6 +260,96 @@ def cluster_types_experiment(
 
 
 # ---------------------------------------------------------------------------
+# FactRecommendationExperiment replay
+# ---------------------------------------------------------------------------
+
+def member_triples(spark: SparkSession, labels_zip: str, fmt: str) -> DataFrame:
+    """Per-member RDF parse of a label zip → (member, s, p, o, literal)
+    — :func:`scoobie_spark.kb.rdfio.parse_rdf_zip` with the zip-entry
+    name kept as provenance, so each dump file can serve as one
+    document's triple source."""
+    from .kb.rdfio import TRIPLES_SCHEMA, _parser, _to_frames
+
+    corpus = read_zip_corpus(spark, labels_zip)
+    parse = _parser(fmt, None)
+    schema = "member string, " + TRIPLES_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for uri, text in zip(pdf["uri"], pdf["content"]):
+                fr = _to_frames(parse(text))
+                fr.insert(0, "member", uri)
+                yield fr
+
+    return corpus.mapInPandas(gen, schema)
+
+
+def fact_recommendation_experiment(
+    spark: SparkSession,
+    labels_zip: str,
+    fmt: str = "rdfxml",
+    max_holdouts: int = 5,
+) -> dict:
+    """``FactRecommendationExperiment`` replay on the corpus's own real
+    label dump: ``createCardinalitiesBBCNature:209-213`` (A12),
+    ``createMarkovChainBBCNature:227-231`` (A13, the reference's
+    sample=100), then the ``testWikinewsCorpus:244-281`` protocol —
+    per-document leave-one-out CF recommendation
+    (``FactRecommender.compareRecommender``) where each document's fact
+    graph is the full KB neighborhood of the subjects it mentions (the
+    reference retrieves the resolved entities' known DBpedia facts; a
+    dump member's subjects play that role here — the member's own
+    triple set is too sparse for CF by construction: nearly every
+    subject carries exactly type+page there, and the recommender's
+    cold-start rule zeroes single-fact subjects).
+
+    ``max_holdouts`` caps the per-doc leave-one-out loop (quadratic in
+    graph size) deterministically. Returns {docs, n_eval, accuracy,
+    fallout, n_subject_cardinalities, n_markov_rows}."""
+    from . import facts as facts_mod
+    from .kb import stats
+    from .kb.etl import build_kb_from_string_triples
+    from .kb.rdfio import parse_rdf_zip
+
+    obj, dat = parse_rdf_zip(spark, labels_zip, fmt)
+    kb = build_kb_from_string_triples(spark, obj, dat)
+    cards = stats.subject_cardinalities(kb)
+    clusters = stats.type_clusters(kb, sample_per_type=10, threshold=0.175)
+    markov = stats.markov_chain(kb, clusters, sample_per_cluster=100)
+
+    trip = member_triples(spark, labels_zip, fmt)
+    doc_subj = (
+        trip.filter(F.col("o").isNotNull())
+        .join(
+            kb.resources.select(F.col("uri").alias("s"), F.col("id").alias("s_id")),
+            "s",
+        )
+        .select(F.xxhash64("member").alias("doc_id"), F.col("s_id").alias("s"))
+        .distinct()
+    )
+    doc_facts = doc_subj.join(kb.relations, "s").select(
+        "doc_id", "s", "p", "o"
+    ).distinct()
+    ev = facts_mod.cf_recommend_eval(
+        doc_facts, kb, markov, clusters, max_holdouts=max_holdouts
+    )
+    agg = ev.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_eval").alias("n_eval"),
+        F.avg("accuracy").alias("accuracy"),
+        F.avg("fallout").alias("fallout"),
+    ).first()
+    return {
+        "docs": agg["docs"],
+        "n_eval": agg["n_eval"],
+        "accuracy": float(agg["accuracy"]),
+        "fallout": float(agg["fallout"]),
+        "n_subject_cardinalities": cards.count(),
+        "n_markov_rows": markov.count(),
+    }
+
+
+# ---------------------------------------------------------------------------
 # PredictTypesExperiment replay
 # ---------------------------------------------------------------------------
 

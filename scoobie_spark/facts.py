@@ -94,6 +94,7 @@ def _cf_eval_one_doc(
     markov: dict,
     type_id: int,
     clusters: set,
+    max_holdouts: int | None = None,
 ):
     """Leave-one-out item-based CF over one document's fact graph
     (FactRecommender.compareRecommender, FactRecommender.java:329-480).
@@ -113,10 +114,15 @@ def _cf_eval_one_doc(
     and its type-evidence mask indexes subjects with item ids; here the
     matrix is rebuilt per hold-out and type evidence is computed in the
     item space.
+
+    ``max_holdouts`` caps the number of evaluated hold-outs per doc
+    (the loop is O(holdouts × matrix builds), quadratic on rich doc
+    graphs); the triple list is sorted so the cap — and hence the
+    metric — is deterministic regardless of upstream partition order.
     """
     import numpy as np
 
-    triples = [tuple(int(x) for x in row) for row in spo]
+    triples = sorted(tuple(int(x) for x in row) for row in spo)
     items = {}
     for s, p, o in triples:
         items.setdefault((p, o), len(items))
@@ -131,6 +137,8 @@ def _cf_eval_one_doc(
         hs, hp, ho = held
         if hs not in cls or ho not in cls:
             continue
+        if max_holdouts is not None and n_eval >= max_holdouts:
+            break
         n_eval += 1
         rest = triples[:k] + triples[k + 1:]
         m = np.zeros((len(items), len(subs)))
@@ -173,6 +181,7 @@ def cf_recommend_eval(
     kb: KB,
     markov_chain: DataFrame,
     type_clusters: DataFrame,
+    max_holdouts: int | None = None,
 ) -> DataFrame:
     """The reference's CF-recommender comparison experiment as a
     distributed eval: per document, leave-one-out accuracy/fallout of
@@ -209,7 +218,12 @@ def cf_recommend_eval(
     def eval_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         doc = pdf["doc_id"].iloc[0]
         n_eval, acc, fall = _cf_eval_one_doc(
-            pdf[["s", "p", "o"]].to_numpy(), cls, markov, type_id, clusters
+            pdf[["s", "p", "o"]].to_numpy(),
+            cls,
+            markov,
+            type_id,
+            clusters,
+            max_holdouts=max_holdouts,
         )
         return pd.DataFrame(
             {"doc_id": [doc], "n_eval": [n_eval], "accuracy": [acc], "fallout": [fall]}

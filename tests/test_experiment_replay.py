@@ -374,3 +374,24 @@ def test_predict_types_experiment_frozen(spark):
     assert res["accuracy"] == pytest.approx(0.6788, abs=0.003)
     assert res["majority_baseline"] == pytest.approx(0.3681, abs=0.003)
     assert res["accuracy"] > res["majority_baseline"] + 0.25
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_BBC), reason="reference bbc_nature corpus not present"
+)
+def test_fact_recommendation_experiment_frozen(spark):
+    """FactRecommendationExperiment replay: A12 cardinalities + A13
+    markov chain (sample=100) on the real wildlife KB, then per-doc
+    leave-one-out CF recommendation over each dump member's KB
+    neighborhood. Deterministic (sorted-holdout cap of 5/doc), so the
+    corpus metrics freeze: the recommender recovers 37.7% of held-out
+    facts; fallout is huge (~3028 extra predictions per holdout) — the
+    unfiltered flood that motivates the reference's markov-probability
+    scoring of recommendations."""
+    res = E.fact_recommendation_experiment(spark, _BBC)
+    assert res["docs"] == 1175
+    assert res["n_eval"] == 5845
+    assert res["accuracy"] == pytest.approx(0.3767, abs=0.003)
+    assert res["fallout"] == pytest.approx(3027.66, rel=0.01)
+    assert res["n_subject_cardinalities"] == 28
+    assert res["n_markov_rows"] == 218
