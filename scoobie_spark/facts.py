@@ -85,6 +85,32 @@ def recommend_facts(
     )
 
 
+def predict_facts_cosine(m: "np.ndarray") -> "np.ndarray":
+    """Item-based cosine CF fill-in over one item×subject matrix —
+    ``DoubleMatrix.cosineSimilarity`` + ``predictValuesByCosine``
+    (DoubleMatrix.java, the variant the reference exercises in
+    ``PredictFactsExperiment.testPredictFacts:229-310``; the production
+    ``FactRecommender.compareRecommender`` path uses the Pearson +
+    typed-evidence variant in :func:`_cf_eval_one_doc`).
+
+    Applies the reference's dimension reduction first (zero
+    single-cardinality subject columns), then fills every EMPTY cell
+    with Σ_{item'≠item} cos(item, item') × m[item'] and keeps filled
+    cells as-is. Driver/executor-local numpy on a per-doc matrix —
+    same physical policy as the rest of the CF family."""
+    import numpy as np
+
+    mc = m.astype(float).copy()
+    card = (mc != 0).sum(axis=0)
+    mc[:, card == 1] = 0.0
+    norm = np.sqrt((m * m).sum(axis=1))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sim = (m @ m.T) / np.outer(norm, norm)
+    sim = np.nan_to_num(sim)
+    fill = sim @ mc - np.diag(sim)[:, None] * mc
+    return np.where(mc == 0, fill, mc)
+
+
 _CF_EVAL_SCHEMA = "doc_id long, n_eval int, accuracy double, fallout double"
 
 

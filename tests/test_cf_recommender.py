@@ -68,3 +68,56 @@ def test_cf_recommend_eval_distributed(spark):
     out2 = {r["doc_id"]: (r["n_eval"], r["accuracy"], r["fallout"])
             for r in facts_mod.cf_recommend_eval(docs_facts, kb, mc, clusters).collect()}
     assert out2 == {k: (v["n_eval"], v["accuracy"], v["fallout"]) for k, v in rows.items()}
+
+
+def test_predict_facts_cosine_toy_parity():
+    """PredictFactsExperiment.testPredictFacts:229-310 replay: the
+    reference's hand-built 10-item × 4-subject toy matrix (Dana, Damian,
+    Tresto, Leif; knows-edges + type facts) through cosineSimilarity +
+    predictValuesByCosine. The experiment's narrative reproduces with
+    frozen values: IS_PERSON — asserted for everyone but Dana — is
+    filled in for Dana at 2.8165 (sqrt(2)*2 - ish from her knows-edges),
+    the strongest type prediction for her, while the unrelated
+    IS_WARRIOR fills at only 1.1547."""
+    import numpy as np
+
+    from scoobie_spark.facts import predict_facts_cosine
+
+    rows = [
+        "IS_PERSON", "KNOWS_DANA", "KNOWS_DAMIAN", "KNOWS_TRESTO",
+        "KNOWS_LEIF", "IS_MAGICIAN", "IS_MUSICIAN", "IS_SPIRITE",
+        "IS_LIBRIAN", "IS_WARRIOR",
+    ]
+    cols = ["DAMIAN", "TRESTO", "LEIF", "DANA"]
+    ri = {k: i for i, k in enumerate(rows)}
+    ci = {k: i for i, k in enumerate(cols)}
+    m = np.zeros((10, 4))
+    for r, c, v in [
+        ("IS_PERSON", "DAMIAN", 2), ("IS_PERSON", "TRESTO", 2),
+        ("IS_PERSON", "LEIF", 2),
+        ("KNOWS_DANA", "DAMIAN", 1), ("KNOWS_DANA", "TRESTO", 1),
+        ("KNOWS_DANA", "LEIF", 1),
+        ("KNOWS_DAMIAN", "TRESTO", 1), ("KNOWS_DAMIAN", "LEIF", 1),
+        ("KNOWS_DAMIAN", "DANA", 1),
+        ("KNOWS_TRESTO", "DAMIAN", 1), ("KNOWS_TRESTO", "LEIF", 1),
+        ("KNOWS_TRESTO", "DANA", 1),
+        ("KNOWS_LEIF", "DAMIAN", 1), ("KNOWS_LEIF", "TRESTO", 1),
+        ("KNOWS_LEIF", "DANA", 1),
+        ("IS_MAGICIAN", "DANA", 2), ("IS_MUSICIAN", "DANA", 2),
+        ("IS_MAGICIAN", "DAMIAN", 2), ("IS_SPIRITE", "DAMIAN", 2),
+        ("IS_LIBRIAN", "DAMIAN", 2),
+        ("IS_WARRIOR", "LEIF", 2),
+    ]:
+        m[ri[r], ci[c]] = v
+
+    pred = predict_facts_cosine(m)
+    # asserted cells survive untouched
+    assert pred[ri["IS_PERSON"], ci["DAMIAN"]] == 2.0
+    assert pred[ri["KNOWS_DANA"], ci["LEIF"]] == 1.0
+    # the experiment's headline inference: Dana is probably a person too
+    assert pred[ri["IS_PERSON"], ci["DANA"]] == pytest.approx(2.8165, abs=1e-4)
+    assert pred[ri["IS_WARRIOR"], ci["DANA"]] == pytest.approx(1.1547, abs=1e-4)
+    is_rows = [ri[r] for r in rows if r.startswith("IS_") and r != "IS_PERSON"]
+    assert pred[ri["IS_PERSON"], ci["DANA"]] > max(
+        pred[i, ci["DANA"]] for i in is_rows
+    )
