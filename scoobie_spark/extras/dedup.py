@@ -59,10 +59,28 @@ def exact_duplicates(docs: DataFrame, key: str = "doc_id", text: str = "text") -
 # shingles
 # --------------------------------------------------------------------------
 
+def _spread(docs: DataFrame, key: str) -> DataFrame:
+    """Widen a narrow scan before a CPU-bound per-doc stage.
+
+    A small corpus (one parquet file → one or two scan splits) would
+    otherwise serialize the whole tokenize/shingle/hash work into a
+    single task — measured 5.1 s single-task vs 0.8 s spread for the
+    sf0.1 shingle build. Fires only when the input arrives with fewer
+    partitions than half the configured parallelism, so a production
+    table (thousands of splits at 100 TB) never pays the extra text
+    shuffle; partitioning on the doc key keeps the layout aligned with
+    every downstream per-doc aggregate."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(target // 2, 2):
+        return docs.repartition(target, key)
+    return docs
+
+
 def shingles(docs: DataFrame, n: int = 3, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Word n-gram shingle table (doc_id, shingle) — distinct per doc.
     Tokenization = lowercased word split; the shingle string is the
     joined n-gram. JVM-side end to end."""
+    docs = _spread(docs, key)
     toks = F.split(F.lower(F.col(text)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -226,7 +244,9 @@ _SIMHASH_SCHEMA = "doc_id long, simhash long"
 def simhash(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """64-bit SimHash per doc: tokens hashed (stable FNV-1a via numpy),
     per-bit ±1 votes, sign → bit. Arrow-batched numpy, no per-row Python."""
-    cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
+    cols = _spread(
+        docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text")), "doc_id"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
