@@ -40,16 +40,8 @@ def cosine_topk(
     vec: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank ≤ k) — exact, broadcast
-    queries × corpus, JVM-side arithmetic only. The corpus side spreads
-    first (:func:`scoobie_spark.extras.dedup._spread`): the per-row dot
-    products are the cost, and a one-file corpus scan would run them in
-    a single task."""
-    from .dedup import _spread
-
-    c = _spread(
-        corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv")),
-        "neighbor_id",
-    )
+    queries × corpus, JVM-side arithmetic only."""
+    c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"))
     q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
@@ -139,11 +131,7 @@ def ivf_topk(
     (query_id, neighbor_id, cosine, rank)."""
     if cents is None:
         cents = train_centroids(corpus, n_cells=n_cells, vec=vec, key=key)
-    from .dedup import _spread
-
-    indexed = assign_cells(_spread(corpus, key), cents, key, vec).withColumnRenamed(
-        "id", "neighbor_id"
-    )
+    indexed = assign_cells(corpus, cents, key, vec).withColumnRenamed("id", "neighbor_id")
 
     # query → its n_probe nearest cells (tiny, driver/broadcast side)
     qrows = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
