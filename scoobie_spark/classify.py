@@ -234,7 +234,12 @@ def extract_span_features(
     prefixes: list[str] = []
     infixes: list[str] = []
     postfixes: list[str] = []
-    for i, (word, pos, label) in enumerate(rows):
+    # only rows inside the span or its ±windowsize context can fire a
+    # branch below — without this bound a no-blank-line file (one giant
+    # "sentence", e.g. conll2003 eng.testa) costs O(|sentence|) per span
+    lo = max(0, lower - windowsize + 1)
+    hi = min(len(rows), upper + windowsize)
+    for i, (word, pos, label) in enumerate(rows[lo:hi], start=lo):
         if i < lower:
             if i - lower > -windowsize:
                 prefixes += _scan_word_content(word, pos, label, match_pos, type_proportion)

@@ -75,6 +75,24 @@ def read_zip_corpus(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInPandas(expand, "uri string, content string")
 
 
+def corpus_docs_table(corpus: DataFrame, repo: str) -> DataFrame:
+    """(uri, content) corpus rows → the input_hint-shaped docs table
+    (repo, path, commit, content, sha256, doc_id) every experiment
+    replay feeds the pipeline. One definition so the doc-table contract
+    can't silently diverge between replays."""
+    from . import textproc
+
+    return textproc.with_doc_id(
+        corpus.select(
+            F.lit(repo).alias("repo"),
+            F.col("uri").alias("path"),
+            F.lit("gt").alias("commit"),
+            "content",
+            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
+        )
+    )
+
+
 def ground_truth(corpus: DataFrame) -> DataFrame:
     """(uri, gt_uri) — the per-document ground-truth URI set, lowercased
     (getUris lowercases both sides before comparing)."""
@@ -192,15 +210,7 @@ def scoobie_experiment(
     kb = kb_from_anchors(spark, corpus)
     gt = ground_truth(corpus)
 
-    docs = textproc.with_doc_id(
-        corpus.select(
-            F.lit(corpus_zip).alias("repo"),
-            F.col("uri").alias("path"),
-            F.lit("gt").alias("commit"),
-            "content",
-            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
-        )
-    ).localCheckpoint()
+    docs = corpus_docs_table(corpus, corpus_zip).localCheckpoint()
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
     cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
     resolved = linking.spot_resolve(cands, kb, resolver).localCheckpoint()
@@ -309,15 +319,20 @@ def fact_recommendation_experiment(
     from . import facts as facts_mod
     from .kb import stats
     from .kb.etl import build_kb_from_string_triples
-    from .kb.rdfio import parse_rdf_zip
 
-    obj, dat = parse_rdf_zip(spark, labels_zip, fmt)
+    # ONE zip parse: the provenance-keeping member parse feeds both the
+    # KB build (member column dropped) and the per-doc fact graphs —
+    # the RDF/XML decode of all members is the experiment's dominant
+    # stage, so it must not run twice
+    trip = member_triples(spark, labels_zip, fmt).localCheckpoint()
+    obj = trip.filter(F.col("o").isNotNull()).select("s", "p", "o")
+    dat = trip.filter(
+        F.col("o").isNull() & F.col("literal").isNotNull()
+    ).select("s", "p", "literal")
     kb = build_kb_from_string_triples(spark, obj, dat)
     cards = stats.subject_cardinalities(kb)
     clusters = stats.type_clusters(kb, sample_per_type=10, threshold=0.175)
     markov = stats.markov_chain(kb, clusters, sample_per_cluster=100)
-
-    trip = member_triples(spark, labels_zip, fmt)
     doc_subj = (
         trip.filter(F.col("o").isNotNull())
         .join(
@@ -434,7 +449,12 @@ def relevance_rating_experiment(
     reproducible; URI order is). Returns one row per
     (doc_uri, metric): (uri, metric, ap, precision, recall, n_gt,
     n_found). Corpus MAP per metric = avg(ap) over docs — the
-    experiment's ``relevance_*_combined.csv`` aggregate."""
+    experiment's ``relevance_*_combined.csv`` aggregate. Docs that
+    resolve nothing (or whose GT is entirely un-KB-resolvable) emit no
+    rows and so don't enter the MAP divisor — deliberately matching
+    ``analyseMeanRatings:652-686``, whose divisor ``docs.size()``
+    counts only docs with CSV lines (and whose AP for |GT|=0 would be
+    the 0/0 NaN this replay drops instead)."""
     from pyspark.sql import Window
 
     from . import linking, rating, textproc
@@ -444,15 +464,7 @@ def relevance_rating_experiment(
     kb = kb_from_anchors(spark, corpus)
     gt = ground_truth(corpus)
 
-    docs = textproc.with_doc_id(
-        corpus.select(
-            F.lit(corpus_zip).alias("repo"),
-            F.col("uri").alias("path"),
-            F.lit("gt").alias("commit"),
-            "content",
-            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
-        )
-    ).localCheckpoint()
+    docs = corpus_docs_table(corpus, corpus_zip).localCheckpoint()
     kb_prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
     cands = textproc.suffix_candidates(docs, kb_prefixes, check_sha256=True)
     resolved = linking.spot_resolve(cands, kb, resolver).localCheckpoint()
@@ -622,6 +634,8 @@ def predict_types_conll2003(
             for l, f in conll2003_examples(read_conll2003(test_path))
             if l in cidx  # unseen classes are untrainable, like Mallet's alphabet
         ]
+        if not test_ex:
+            raise ValueError("test corpus shares no labels with the training corpus")
         tr = np.arange(len(y))
         y_te = np.array([cidx[l] for l, _ in test_ex], dtype=np.int64)
         x_te = hash_feature_lists([f for _, f in test_ex], n_buckets)
@@ -647,7 +661,11 @@ def predict_types_conll2003(
             "f1": round(2 * p * r / max(p + r, 1e-12), 4),
             "support": int((y_te == j).sum()),
         }
-    majority = round(float(max(np.bincount(y_te).max(), 0) / max(len(y_te), 1)), 4)
+    # baseline = always predicting the TRAINING majority class, scored on
+    # the test labels (a test-set argmax would be an oracle no classifier
+    # should be compared against)
+    maj_class = int(np.bincount(y[tr]).argmax())
+    majority = round(float((y_te == maj_class).mean()), 4)
     return {
         "n_examples": len(y),
         "n_train": len(tr),
@@ -690,7 +708,6 @@ def _labeled_kb_corpus(spark: SparkSession, text_zip: str, labels_zip: str):
     KB from the label dumps through the full A1-A9 zip/Turtle ingestion,
     per-member rdfs:label ground truth, and the text corpus as an
     id-stamped docs table. Returns (kb, gt, docs)."""
-    from . import textproc
     from .kb.etl import build_kb_from_string_triples
     from .kb.rdfio import parse_rdf_zip
 
@@ -699,15 +716,7 @@ def _labeled_kb_corpus(spark: SparkSession, text_zip: str, labels_zip: str):
     kb = build_kb_from_string_triples(spark, obj, dat)
     gt = label_subjects(read_zip_corpus(spark, labels_zip)).localCheckpoint()
 
-    docs = textproc.with_doc_id(
-        corpus.select(
-            F.lit(text_zip).alias("repo"),
-            F.col("uri").alias("path"),
-            F.lit("gt").alias("commit"),
-            "content",
-            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
-        )
-    ).localCheckpoint()
+    docs = corpus_docs_table(corpus, text_zip).localCheckpoint()
     return kb, gt, docs
 
 
@@ -734,7 +743,6 @@ def instance_recognition_experiment(
     filter here either.
 
     Returns (member, precision, recall, f1, n_gt, n_found)."""
-    from . import linking, textproc
 
     kb, gt, docs = _labeled_kb_corpus(spark, text_zip, labels_zip)
     found = _resolved_uris(docs, kb, resolver)
@@ -805,7 +813,6 @@ def gutenberg_experiment(
     strings); the anchor-derived KB gets the same rewrite so its ids
     are /resource/-canonical like the reference's DBpedia instance.
     Returns the per-member set-P/R table."""
-    from . import textproc
 
     corpus = (
         read_zip_corpus(spark, corpus_zip)
@@ -831,15 +838,7 @@ def gutenberg_experiment(
         )
         .distinct()
     )
-    docs = textproc.with_doc_id(
-        corpus.select(
-            F.lit(corpus_zip).alias("repo"),
-            F.col("uri").alias("path"),
-            F.lit("gt").alias("commit"),
-            "content",
-            F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
-        )
-    ).localCheckpoint()
+    docs = corpus_docs_table(corpus, corpus_zip).localCheckpoint()
     return _per_member_set_pr(_resolved_uris(docs, kb, resolver), gt)
 
 
@@ -906,7 +905,6 @@ def proper_name_experiment(
     reproduces on the real dump: naming properties (wo:commonName,
     wo:scientificName, dc:title, rdfs:label) out-rate descriptive ones
     (dc:description rates ~0.02 vs ~0.99 for wo:commonName)."""
-    from . import textproc
     from .kb import stats
     from .kb.etl import build_kb_from_string_triples
     from .kb.rdfio import parse_rdf_zip
@@ -917,14 +915,6 @@ def proper_name_experiment(
     idf = None
     if text_zip is not None:
         corpus = read_zip_corpus(spark, text_zip)
-        docs = textproc.with_doc_id(
-            corpus.select(
-                F.lit(text_zip).alias("repo"),
-                F.col("uri").alias("path"),
-                F.lit("gt").alias("commit"),
-                "content",
-                F.sha2(F.encode("content", "UTF-8"), 256).alias("sha256"),
-            )
-        )
+        docs = corpus_docs_table(corpus, text_zip)
         idf = stats.corpus_property_idf(docs, kb)
     return stats.proper_noun_rating(kb, clusters, idf)

@@ -93,11 +93,16 @@ def predict_facts_cosine(m: "np.ndarray") -> "np.ndarray":
     ``FactRecommender.compareRecommender`` path uses the Pearson +
     typed-evidence variant in :func:`_cf_eval_one_doc`).
 
-    Applies the reference's dimension reduction first (zero
-    single-cardinality subject columns), then fills every EMPTY cell
-    with Σ_{item'≠item} cos(item, item') × m[item'] and keeps filled
-    cells as-is. Driver/executor-local numpy on a per-doc matrix —
-    same physical policy as the rest of the CF family."""
+    Reference-parity semantics, bug-for-bug
+    (``testPredictFacts:282-293``): the similarity matrix comes from
+    the UNREDUCED input ``m`` (``m.cosineSimilarity()`` re-reads the
+    original), while prediction runs over the reduced copy ``mc``
+    (single-cardinality subject columns zeroed) — so a subject with
+    exactly one asserted fact comes back all-zero: its column is zeroed
+    by the reduction and the fill ``Σ_{item'≠item} cos × mc[item']``
+    sums an all-zero column. Cells still non-zero in ``mc`` pass
+    through unchanged. Driver/executor-local numpy on a per-doc matrix
+    — same physical policy as the rest of the CF family."""
     import numpy as np
 
     mc = m.astype(float).copy()

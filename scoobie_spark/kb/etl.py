@@ -238,7 +238,7 @@ def build_kb_from_dumps(
     transparent, ``zipped=True`` expands zip containers). ``base``
     resolves relative references in RDF/XML dumps (Sesame's baseURI
     argument)."""
-    if fmt == "ntriples":
+    if fmt == "ntriples" and not zipped:
         if base is not None:
             raise ValueError("base resolution is only supported for rdfxml")
         obj, dat = parse_ntriples(spark, path)

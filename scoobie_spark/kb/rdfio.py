@@ -182,7 +182,35 @@ def parse_rdfxml_text(
     return triples
 
 
-_PARSERS = {"turtle": parse_turtle_text, "rdfxml": parse_rdfxml_text}
+_NT_LINE_RE = re.compile(
+    r'^\s*<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"[^\s]*)\s*\.\s*$'
+)
+
+
+def parse_ntriples_text(text: str) -> list[tuple[str, str, str | None, str | None]]:
+    """One N-Triples document → [(s, p, o_uri|None, literal|None)] —
+    the text-level twin of ``etl.parse_ntriples`` (same line regex and
+    literal unescape) so zip containers of N-Triples dumps parse
+    identically to bare/gz dumps (RDFTripleParser.java:84-99 accepts
+    the zip container for every media type, not just Turtle/RDF-XML)."""
+    triples: list[tuple[str, str, str | None, str | None]] = []
+    for line in text.splitlines():
+        m = _NT_LINE_RE.match(line)
+        if not m:
+            continue
+        s, p, o, lit = m.groups()
+        if o is not None:
+            triples.append((s, p, o, None))
+        elif lit:
+            triples.append((s, p, None, re.sub(r'\\(["ntr\\])', r"\1", lit)))
+    return triples
+
+
+_PARSERS = {
+    "turtle": parse_turtle_text,
+    "rdfxml": parse_rdfxml_text,
+    "ntriples": parse_ntriples_text,
+}
 
 
 def _parser(fmt: str, base: str | None):

@@ -121,3 +121,28 @@ def test_predict_facts_cosine_toy_parity():
     assert pred[ri["IS_PERSON"], ci["DANA"]] > max(
         pred[i, ci["DANA"]] for i in is_rows
     )
+
+
+def test_predict_facts_cosine_single_fact_subject_zeroed():
+    """Reference-parity edge (testPredictFacts:282-293): a subject with
+    exactly ONE asserted fact is zeroed by the dimension reduction and
+    predictValuesByCosine then fills its cells from the all-zero
+    reduced column — the asserted fact does NOT survive. (The docstring
+    documents this deliberately; this pin keeps anyone from 'fixing'
+    it away from the reference.)"""
+    import numpy as np
+
+    from scoobie_spark.facts import predict_facts_cosine
+
+    m = np.array(
+        [
+            [2.0, 2.0, 0.0],  # shared type fact
+            [1.0, 1.0, 0.0],  # shared knows fact
+            [0.0, 0.0, 5.0],  # the lone fact of subject 2
+        ]
+    )
+    pred = predict_facts_cosine(m)
+    # subject 2's column had cardinality 1 → fully zeroed, asserted 5.0 gone
+    assert (pred[:, 2] == 0).all()
+    # multi-fact subjects keep their asserted values
+    assert pred[0, 0] == 2.0 and pred[1, 1] == 1.0

@@ -11,7 +11,11 @@ symbols — mirroring TestPostgresKB.java:56-183's round-trip assertions.
 import pytest
 
 from scoobie_spark.kb.etl import build_kb_from_dumps
-from scoobie_spark.kb.rdfio import parse_rdfxml_text, parse_turtle_text
+from scoobie_spark.kb.rdfio import (
+    parse_ntriples_text,
+    parse_rdfxml_text,
+    parse_turtle_text,
+)
 
 # reference fixture test1.ttl: all prefixes dot-terminated, one subject
 TEST1_TTL = """\
@@ -187,6 +191,32 @@ def test_zip_container(spark, tmp_path):
         zf.writestr("test2.ttl", TEST2_TTL)
     kb = build_kb_from_dumps(spark, str(z), fmt="turtle", zipped=True)
     assert sorted(tuple(r) for r in kb.resources.collect()) == FROZEN_RESOURCES
+
+
+def test_zip_container_ntriples(spark, tmp_path):
+    """zipped=True must parse N-Triples members, not silently feed the
+    raw zip bytes to the line scanner (which would yield an empty KB)."""
+    import zipfile
+
+    nt = (
+        '<http://e/s> <http://e/p> <http://e/o> .\n'
+        '<http://e/s> <http://e/label> "Al\\"pha" .\n'
+    )
+    bare = tmp_path / "dump.nt"
+    bare.write_text(nt)
+    z = tmp_path / "dump_nt.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("part-0.nt", nt)
+    # text-level parse keeps the unescaped quote; A2 cleansing strips it
+    assert parse_ntriples_text(nt) == [
+        ("http://e/s", "http://e/p", "http://e/o", None),
+        ("http://e/s", "http://e/label", None, 'Al"pha'),
+    ]
+    kb_zip = build_kb_from_dumps(spark, str(z), fmt="ntriples", zipped=True)
+    kb_bare = build_kb_from_dumps(spark, str(bare), fmt="ntriples")
+    for side in (kb_zip, kb_bare):
+        assert side.relations.count() == 1
+        assert {r["literal"] for r in side.literals.collect()} == {"Alpha"}
 
 
 def test_turtle_glued_statement_terminator():
