@@ -918,3 +918,35 @@ def proper_name_experiment(
         docs = corpus_docs_table(corpus, text_zip)
         idf = stats.corpus_property_idf(docs, kb)
     return stats.proper_noun_rating(kb, clusters, idf)
+
+
+def phrase_frequency_experiment(
+    spark: SparkSession, text_zip: str, lang: str = "en"
+) -> DataFrame:
+    """``PhraseExperiment.analyseTokenPhraseFrequencies`` replay
+    (PhraseExperiment.java:165-260), reuters leg: every document of the
+    zip corpus (the reference bundles ``corpora/reuters/reuters.zip``,
+    1471 news texts) runs tokenize → B5 POS → B6 NP chunk, and the five
+    per-document columns of ``token_phrase_frequency_reuters.csv`` are
+    aggregated JVM-side (:func:`scoobie_spark.pos.token_phrase_frequency`).
+
+    The wikipedia leg fetched 100 live ``Special:Random`` pages — not
+    reproducible offline by design; the reuters leg is the frozen one.
+
+    Returns (path, tokens, noun_phrases, tokens_in_nps,
+    distinct_tokens_in_nps, distinct_tokens), one row per document."""
+    from . import perceptron, pos
+
+    corpus = read_zip_corpus(spark, text_zip)
+    docs = corpus_docs_table(corpus, text_zip)
+    if perceptron.models_available(lang):
+        chunked = perceptron.np_chunks_trained(
+            perceptron.pos_tag_trained(docs, lang=lang), lang=lang
+        )
+    else:
+        chunked = pos.np_chunks(pos.pos_tag(docs))
+    freq = pos.token_phrase_frequency(chunked)
+    return freq.join(docs.select("doc_id", "path"), "doc_id").select(
+        "path", "tokens", "noun_phrases", "tokens_in_nps",
+        "distinct_tokens_in_nps", "distinct_tokens",
+    )

@@ -40,6 +40,24 @@ from pyspark.sql import DataFrame
 MODELS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "models")
 POS_MODEL = os.path.join(MODELS_DIR, "pos_conll2000.json.gz")
 CHUNK_MODEL = os.path.join(MODELS_DIR, "chunker_conll2000.json.gz")
+# German twins, trained on the reference's bundled TIGER chunk file —
+# the reference ships a DE chunker model path alongside EN
+# (TestNounPhraseChunker.java:37,43: TRAIN_FILE_DE → npc/de/DE.crf)
+POS_MODEL_DE = os.path.join(MODELS_DIR, "pos_tiger.json.gz")
+CHUNK_MODEL_DE = os.path.join(MODELS_DIR, "chunker_tiger.json.gz")
+LANG_MODELS = {
+    "en": (POS_MODEL, CHUNK_MODEL),
+    "de": (POS_MODEL_DE, CHUNK_MODEL_DE),
+}
+
+
+def _lang_models(lang: str) -> tuple[str, str]:
+    try:
+        return LANG_MODELS[lang]
+    except KeyError:
+        raise ValueError(
+            f"no trained B5/B6 models for lang={lang!r}; have {sorted(LANG_MODELS)}"
+        ) from None
 
 START = ["-START-", "-START2-"]
 
@@ -361,32 +379,34 @@ def _load(path: str) -> AveragedPerceptron:
     return _cached[path]
 
 
-def models_available() -> bool:
-    if os.path.exists(POS_MODEL) and os.path.exists(CHUNK_MODEL):
+def models_available(lang: str = "en") -> bool:
+    pos_path, chunk_path = _lang_models(lang)
+    if os.path.exists(pos_path) and os.path.exists(chunk_path):
         return True
     try:  # inside a --py-files zip
         from importlib import resources
 
         base = resources.files("scoobie_spark") / "models"
-        return (base / os.path.basename(POS_MODEL)).is_file() and (
-            base / os.path.basename(CHUNK_MODEL)
+        return (base / os.path.basename(pos_path)).is_file() and (
+            base / os.path.basename(chunk_path)
         ).is_file()
     except Exception:
         return False
 
 
-def pos_tag_trained(docs: DataFrame) -> DataFrame:
+def pos_tag_trained(docs: DataFrame, lang: str = "en") -> DataFrame:
     """Trained-B5 twin of :func:`pos.pos_tag`: same token/sentence
-    segmentation and output schema, tags from the conll2000 perceptron.
-    The model JSON loads once per worker process (module cache), not
-    per batch."""
+    segmentation and output schema, tags from the conll2000 (en) or
+    TIGER (de) perceptron. The model JSON loads once per worker process
+    (module cache), not per batch."""
     from .pos import POS_SCHEMA
     from .textproc import _SENT_RE, _TOKEN_RE, _normalize_series
 
+    pos_path, _ = _lang_models(lang)
     cols = docs.select("doc_id", "content")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _load(POS_MODEL)
+        model = _load(pos_path)
         for pdf in batches:
             texts = _normalize_series(pdf["content"])
             rows = {k: [] for k in ("doc_id", "start", "end", "sent_id", "word", "pos")}
@@ -429,7 +449,9 @@ def pos_tag_trained(docs: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, POS_SCHEMA)
 
 
-def np_span_filter(candidates: DataFrame, docs: DataFrame) -> DataFrame:
+def np_span_filter(
+    candidates: DataFrame, docs: DataFrame, lang: str = "en"
+) -> DataFrame:
     """The reference's NP gate on suffix-array starts
     (``SuffixArrayBuilder.filterNounPhrases``) with the TRAINED chunker:
     keep only candidate token starts inside a predicted NP span
@@ -442,7 +464,9 @@ def np_span_filter(candidates: DataFrame, docs: DataFrame) -> DataFrame:
 
     from .pos import noun_phrases
 
-    spans = noun_phrases(np_chunks_trained(pos_tag_trained(docs))).select(
+    spans = noun_phrases(
+        np_chunks_trained(pos_tag_trained(docs, lang=lang), lang=lang)
+    ).select(
         F.col("doc_id").alias("np_doc"),
         F.col("begin").alias("np_begin"),
         F.col("end").alias("np_end"),
@@ -460,16 +484,21 @@ NP_SCHEMA = (
 )
 
 
-def np_chunks_trained(tagged: DataFrame, window: int = 3) -> DataFrame:
+def np_chunks_trained(
+    tagged: DataFrame, window: int = 3, lang: str = "en"
+) -> DataFrame:
     """Trained-B6 twin of :func:`pos.np_chunks`: BIO chunk tags from the
-    conll2000 perceptron, reduced to the NP layer (B-NP/I-NP kept, every
-    other chunk type → O) so downstream ``noun_phrases`` stitching is
-    shared. One doc_id shuffle via grouped_apply (sentences must be
-    contiguous and ordered for the sequence decode)."""
+    conll2000 (en) / TIGER (de) perceptron, reduced to the NP layer
+    (B-NP/I-NP kept, every other chunk type → O) so downstream
+    ``noun_phrases`` stitching is shared. One doc_id shuffle via
+    grouped_apply (sentences must be contiguous and ordered for the
+    sequence decode)."""
     from .grouped import grouped_apply
 
+    _, chunk_path = _lang_models(lang)
+
     def run(batch: pd.DataFrame) -> pd.DataFrame:
-        model = _load(CHUNK_MODEL)
+        model = _load(chunk_path)
         outs = []
         for (_, _), g in batch.groupby(["doc_id", "sent_id"], sort=True):
             g = g.sort_values("start")

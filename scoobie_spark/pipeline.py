@@ -48,6 +48,11 @@ class PipelineConfig:
     # scan), "chunker" = trained conll2000 NP spans (perceptron.py — the
     # reference's filterNounPhrases; slower, catches lowercase NPs)
     np_candidate_filter: bool | str = False
+    # language for the trained chunker path — "en" (conll2000 models) or
+    # "de" (TIGER models; reference ships DE alongside EN,
+    # TestNounPhraseChunker.java:37,43). Mirrors the per-document
+    # Language argument of pipeline.createDocument.
+    chunker_lang: str = "en"
     fused: bool = True                 # ONE shuffle+Arrow pass for B8-B21; False =
                                        # staged path (finer checkpoints for resume)
     # broadcast the KB relation graph as a per-subject adjacency when it
@@ -215,7 +220,7 @@ def extract_triples(
     if np_mode == "chunker":
         from . import perceptron
 
-        cand_df = perceptron.np_span_filter(cand_df, docs)
+        cand_df = perceptron.np_span_filter(cand_df, docs, lang=cfg.chunker_lang)
     candidates = _stage(cfg, "candidates", cand_df, spark)
     gazetteer = kb.gazetteer()
     ctx = None

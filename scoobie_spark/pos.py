@@ -135,6 +135,32 @@ def np_chunks(tagged: DataFrame) -> DataFrame:
     return tagged.withColumn("np", tag)
 
 
+def token_phrase_frequency(chunked: DataFrame) -> DataFrame:
+    """Per-document token/phrase statistics — the five columns of the
+    reference's ``token_phrase_frequency_*.csv``
+    (PhraseExperiment.analyseTokenPhraseFrequencies,
+    PhraseExperiment.java:165-260): tokens in doc, noun phrases in doc,
+    tokens inside NPs, distinct tokens inside NPs, distinct tokens in
+    doc. Input is the BIO-chunked layer (rule or trained); one
+    aggregation plus the phrase-count join, all JVM-side."""
+    np_word = F.when(F.col("np") != "O", F.col("word"))
+    tok = chunked.groupBy("doc_id").agg(
+        F.count("*").alias("tokens"),
+        F.sum((F.col("np") != "O").cast("long")).alias("tokens_in_nps"),
+        F.countDistinct(np_word).alias("distinct_tokens_in_nps"),
+        F.countDistinct("word").alias("distinct_tokens"),
+    )
+    nps = (
+        noun_phrases(chunked)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("noun_phrases"))
+    )
+    return tok.join(nps, "doc_id", "left").na.fill(0, ["noun_phrases"]).select(
+        "doc_id", "tokens", "noun_phrases", "tokens_in_nps",
+        "distinct_tokens_in_nps", "distinct_tokens",
+    )
+
+
 def noun_phrases(chunked: DataFrame) -> DataFrame:
     """Stitch B/I tags into phrase spans (Document.getNounPhrases,
     Document.java:493-530): running-sum sessionization — a phrase id

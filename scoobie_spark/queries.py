@@ -958,6 +958,24 @@ def q_b6_noun_phrases_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_phrase_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """Token/phrase frequency profile (PhraseExperiment.
+    analyseTokenPhraseFrequencies, PhraseExperiment.java:165-260) over
+    the documents table: per-doc tokens, NPs, tokens-in-NPs and the two
+    distinct counts, via the trained chunker when the artifacts are
+    present (rule grammar otherwise)."""
+    from . import perceptron, pos
+
+    d = _T(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    if perceptron.models_available():
+        chunked = perceptron.np_chunks_trained(perceptron.pos_tag_trained(d))
+    else:
+        chunked = pos.np_chunks(pos.pos_tag(d))
+    return pos.token_phrase_frequency(chunked)
+
+
 def q_b17_components(spark: SparkSession, sf: str) -> DataFrame:
     """B17: distributed connected components (min-label propagation) over
     the MinHash near-duplicate pair graph → near-dup cluster size
@@ -1171,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "b6_noun_phrases": q_b6_noun_phrases,
         "b6_noun_phrases_trained": q_b6_noun_phrases_trained,
+        "token_phrase_frequency": q_token_phrase_frequency,
         "b17_components": q_b17_components,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,

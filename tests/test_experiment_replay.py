@@ -395,3 +395,42 @@ def test_fact_recommendation_experiment_frozen(spark):
     assert res["fallout"] == pytest.approx(3027.66, rel=0.01)
     assert res["n_subject_cardinalities"] == 28
     assert res["n_markov_rows"] == 218
+
+
+# ---------------------------------------------------------------------------
+# PhraseExperiment.analyseTokenPhraseFrequencies — reuters leg
+# (PhraseExperiment.java:165-260)
+# ---------------------------------------------------------------------------
+
+_REUTERS = "/root/reference/corpora/reuters/reuters.zip"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REUTERS), reason="reference reuters corpus not present"
+)
+def test_phrase_frequency_reuters_frozen(spark):
+    """The five token_phrase_frequency_reuters.csv columns over the full
+    bundled corpus (1471 docs) with the trained conll2000 chunker.
+    Frozen (scripts/reuters_phrase_frequency.py): 415498 tokens,
+    115894 NPs, 251172 tokens inside NPs — i.e. the reference's
+    motivating observation that NP tokens are a ~0.62 fraction of all
+    tokens and carry ~0.73 of the vocabulary."""
+    from pyspark.sql import functions as F
+
+    freq = E.phrase_frequency_experiment(spark, _REUTERS)
+    t = freq.agg(
+        F.count("*").alias("docs"),
+        F.sum("tokens").alias("tokens"),
+        F.sum("noun_phrases").alias("nps"),
+        F.sum("tokens_in_nps").alias("in_nps"),
+        F.avg(F.col("tokens_in_nps") / F.col("tokens")).alias("tok_ratio"),
+        F.avg(
+            F.col("distinct_tokens_in_nps") / F.col("distinct_tokens")
+        ).alias("vocab_ratio"),
+    ).first()
+    assert t["docs"] == 1471
+    assert t["tokens"] == 415498
+    assert t["nps"] == 115894
+    assert t["in_nps"] == 251172
+    assert abs(t["tok_ratio"] - 0.6209) < 1e-3
+    assert abs(t["vocab_ratio"] - 0.7302) < 1e-3

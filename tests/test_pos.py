@@ -163,3 +163,102 @@ def test_np_chunker_candidate_gate(spark):
     assert got_chunker <= expected          # gate never admits junk
     assert len(got_chunker) >= len(got_caps)
     assert any(obj == "Percy Jackson" for _, _, _, obj in got_chunker)
+
+
+# ---------------------------------------------------------------------------
+# German (TIGER) models — the reference's DE chunker leg
+# (TestNounPhraseChunker.java:37,43) — and token/phrase frequencies
+# ---------------------------------------------------------------------------
+
+_TIGER = "/root/reference/corpora/tiger"
+needs_tiger = pytest.mark.skipif(
+    not os.path.exists(os.path.join(_TIGER, "training_tiger.txt.zip")),
+    reason="reference tiger corpus not present",
+)
+needs_de_models = pytest.mark.skipif(
+    not perceptron.models_available("de"),
+    reason="trained DE models absent — run scripts/train_tiger.py",
+)
+
+
+@needs_de_models
+@needs_tiger
+def test_trained_chunker_tiger_de():
+    """DE mirror of TestNounPhraseChunker (TRAIN_FILE_DE → DE.crf):
+    per-token chunk accuracy + NP-segment F1 on the deterministic
+    10% held-out tail of training_tiger.txt (TIGER ships no test
+    split). Frozen from the committed artifacts
+    (scripts/train_tiger.py): POS .9562, chunk .9595, NP F1 .8788."""
+    sents = perceptron.read_conll2000(
+        os.path.join(_TIGER, "training_tiger.txt.zip")
+    )
+    test = sents[int(len(sents) * 0.9):]
+    chunker = perceptron.AveragedPerceptron.load(perceptron.CHUNK_MODEL_DE)
+    assert perceptron.token_accuracy(chunker, test, "chunk") >= 0.955
+    p, r, f1 = perceptron.np_phrase_f1(chunker, test)
+    assert f1 >= 0.87
+
+    tagger = perceptron.AveragedPerceptron.load(perceptron.POS_MODEL_DE)
+    assert perceptron.token_accuracy(tagger, test, "pos") >= 0.95
+
+
+@needs_de_models
+def test_trained_dataframe_layer_de(spark):
+    """lang="de" end-to-end: STTS tags from the TIGER tagger, German NP
+    spans through the shared noun_phrases stitch."""
+    docs = spark.createDataFrame(
+        [(1, "Der schnelle braune Fuchs springt über den faulen Hund. "
+             "Die Bundesregierung plant eine neue Steuerreform.")],
+        "doc_id long, content string",
+    )
+    tagged = perceptron.pos_tag_trained(docs, lang="de")
+    tags = {r["word"]: r["pos"] for r in tagged.collect()}
+    assert tags["Der"] == "ART" and tags["über"] == "APPR"
+    assert tags["Bundesregierung"] == "NN"
+    phrases = pos.noun_phrases(
+        perceptron.np_chunks_trained(tagged, lang="de")
+    )
+    ph = {r["phrase"] for r in phrases.collect()}
+    assert any("Fuchs" in p for p in ph)
+    assert any("Steuerreform" in p for p in ph)
+    # the verb never lands inside a phrase
+    assert not any("springt" in p for p in ph)
+
+
+def test_unknown_chunker_lang_raises():
+    with pytest.raises(ValueError, match="no trained B5/B6 models"):
+        perceptron._lang_models("fr")
+
+
+def test_token_phrase_frequency(spark):
+    """The five PhraseExperiment CSV columns recomputed independently in
+    pandas from the same chunked layer — exact match per doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog. Alice saw Bob."),
+            (2, "nothing verbs here"),
+        ],
+        "doc_id long, content string",
+    )
+    chunked = pos.np_chunks(pos.pos_tag(docs))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pos.token_phrase_frequency(chunked).collect()
+    }
+    pdf = chunked.toPandas()
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("start")
+        inside = g[g["np"] != "O"]
+        nps = 0
+        for _, s in g.groupby("sent_id"):
+            prev = "O"
+            for tag in s["np"]:
+                if tag == "B-NP" or (tag == "I-NP" and prev == "O"):
+                    nps += 1
+                prev = tag
+        row = got[doc_id]
+        assert row["tokens"] == len(g)
+        assert row["noun_phrases"] == nps
+        assert row["tokens_in_nps"] == len(inside)
+        assert row["distinct_tokens_in_nps"] == inside["word"].nunique()
+        assert row["distinct_tokens"] == g["word"].nunique()
