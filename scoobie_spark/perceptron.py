@@ -459,14 +459,50 @@ def np_span_filter(
     are disjoint by construction). The cheap capitalization form of the
     same signal is ``textproc.suffix_candidates(np_filter=True)`` — this
     is the quality path behind ``PipelineConfig.np_candidate_filter=
-    "chunker"``."""
+    "chunker"``.
+
+    ``lang="auto"`` dispatches per document on the input table's
+    ``lang`` column (input_hint shape): each doc is chunked by the
+    model set for its language, unknown/unmodeled languages fall back
+    to "en" — the Spark-native form of the reference's per-document
+    ``Language`` argument (``Pipeline.createDocument``; the EN/DE model
+    artifacts are ``npc/en/EN.crf`` / ``npc/de/DE.crf``,
+    TestNounPhraseChunker.java:37,43). One Arrow pass per distinct
+    model set over a filtered scan — a doc never runs two models."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     from .pos import noun_phrases
 
-    spans = noun_phrases(
-        np_chunks_trained(pos_tag_trained(docs, lang=lang), lang=lang)
-    ).select(
+    def lang_spans(sub: DataFrame, model_lang: str) -> DataFrame:
+        return noun_phrases(
+            np_chunks_trained(
+                pos_tag_trained(sub, lang=model_lang), lang=model_lang
+            )
+        )
+
+    if lang == "auto":
+        extra = [
+            l for l in LANG_MODELS
+            if l != "en" and models_available(l) and "lang" in docs.columns
+        ]
+        routed = docs.withColumn(
+            "_model_lang",
+            F.when(F.col("lang").isin(extra), F.col("lang")).otherwise("en")
+            if extra
+            else F.lit("en"),
+        )
+        spans = reduce(
+            DataFrame.unionByName,
+            [
+                lang_spans(routed.filter(F.col("_model_lang") == l), l)
+                for l in ["en", *extra]
+            ],
+        )
+    else:
+        spans = lang_spans(docs, lang)
+    spans = spans.select(
         F.col("doc_id").alias("np_doc"),
         F.col("begin").alias("np_begin"),
         F.col("end").alias("np_end"),

@@ -262,3 +262,36 @@ def test_token_phrase_frequency(spark):
         assert row["tokens_in_nps"] == len(inside)
         assert row["distinct_tokens_in_nps"] == inside["word"].nunique()
         assert row["distinct_tokens"] == g["word"].nunique()
+
+
+@needs_models
+@needs_de_models
+def test_np_span_filter_auto_dispatch(spark):
+    """lang="auto": per-document model routing on the input table's
+    lang column — the result equals applying each language's gate to
+    its own documents."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "Percy Jackson visited London yesterday."),
+            (2, "de", "Die Bundesregierung plant eine neue Steuerreform."),
+            (3, "zz", "Alpha Bravo spoke."),  # unmodeled lang → en fallback
+        ],
+        "doc_id long, lang string, content string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 0), (1, 22), (1, 14), (2, 4), (2, 31), (2, 20), (3, 0)],
+        "doc_id long, begin int",
+    )
+    auto = perceptron.np_span_filter(cands, docs, lang="auto")
+
+    def one(doc_id, lang):
+        return perceptron.np_span_filter(
+            cands.filter(F.col("doc_id") == doc_id),
+            docs.filter(F.col("doc_id") == doc_id),
+            lang=lang,
+        )
+
+    expected = one(1, "en").unionByName(one(2, "de")).unionByName(one(3, "en"))
+    got = sorted(tuple(r) for r in auto.collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want and len(got) > 0
