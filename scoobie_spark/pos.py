@@ -141,23 +141,26 @@ def token_phrase_frequency(chunked: DataFrame) -> DataFrame:
     (PhraseExperiment.analyseTokenPhraseFrequencies,
     PhraseExperiment.java:165-260): tokens in doc, noun phrases in doc,
     tokens inside NPs, distinct tokens inside NPs, distinct tokens in
-    doc. Input is the BIO-chunked layer (rule or trained); one
-    aggregation plus the phrase-count join, all JVM-side."""
+    doc. Input is the BIO-chunked layer (rule or trained).
+
+    One scan of the chunked layer: phrase starts are flagged with the
+    same lag-window expression :func:`noun_phrases` stitches with
+    (B-NP, or I-NP after O/sentence start), then everything reduces in
+    a single aggregation — the chunker Arrow pass never runs twice.
+    """
+    w = Window.partitionBy("doc_id", "sent_id").orderBy("start")
+    prev_np = F.lag("np").over(w)
+    new_phrase = (F.col("np") == "B-NP") | (
+        (F.col("np") == "I-NP") & (prev_np.isNull() | (prev_np == "O"))
+    )
     np_word = F.when(F.col("np") != "O", F.col("word"))
-    tok = chunked.groupBy("doc_id").agg(
+    flagged = chunked.withColumn("_np_start", new_phrase.cast("long"))
+    return flagged.groupBy("doc_id").agg(
         F.count("*").alias("tokens"),
+        F.sum("_np_start").alias("noun_phrases"),
         F.sum((F.col("np") != "O").cast("long")).alias("tokens_in_nps"),
         F.countDistinct(np_word).alias("distinct_tokens_in_nps"),
         F.countDistinct("word").alias("distinct_tokens"),
-    )
-    nps = (
-        noun_phrases(chunked)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("noun_phrases"))
-    )
-    return tok.join(nps, "doc_id", "left").na.fill(0, ["noun_phrases"]).select(
-        "doc_id", "tokens", "noun_phrases", "tokens_in_nps",
-        "distinct_tokens_in_nps", "distinct_tokens",
     )
 
 
