@@ -991,6 +991,42 @@ def q_b17_components(spark: SparkSession, sf: str) -> DataFrame:
     return sizes.groupBy("size").agg(F.count("*").alias("n_components"))
 
 
+def q_b17_cc_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """B17 with a full differential oracle: the same Kiveris
+    large-star/small-star engine as ``b17_components``, but over the
+    n-gram Jaccard pair graph — whose edge set is itself oracle-checked
+    (``dedup_ngram_jaccard``) — so the (node → min-id component)
+    assignment can be verified against a DuckDB recursive-CTE
+    transitive closure, value for value."""
+    from . import graph
+
+    d = _T(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc = graph.connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+SQL_B17_CC = (
+    "WITH RECURSIVE pairs AS ("
+    + SQL_NGRAM_JACCARD
+    + """
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
+"""
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary multimodal columns: deterministic synthetic media
     + Arrow-batched decode-stub feature extraction (real plumbing,
@@ -1191,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b6_noun_phrases_trained": q_b6_noun_phrases_trained,
         "token_phrase_frequency": q_token_phrase_frequency,
         "b17_components": q_b17_components,
+        "b17_cc_jaccard": q_b17_cc_jaccard,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "micro_pipeline_pagerank": q_micro_pipeline_pagerank,
@@ -1239,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,
+        "b17_cc_jaccard": SQL_B17_CC,
         # rows-only (not ANSI-SQL-expressible): dedup_minhash /
         # dedup_simhash / dedup_embedding_lsh (hash families),
         # ann_ivf_topk (k-means), text_fingerprints (rolling hash),
