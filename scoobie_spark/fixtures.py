@@ -244,9 +244,18 @@ def replicate_corpus(corpus: DataFrame, factor: int) -> DataFrame:
     N-vs-4N parallelism efficiency measurement."""
     if factor <= 1:
         return corpus
-    reps = corpus.sparkSession.range(factor).select(F.col("id").alias("rep"))
+    # Spread the SMALL base before the ×factor blow-up: the broadcast
+    # nested-loop replication multiplies rows inside each input
+    # partition, so a single-split parquet source would otherwise
+    # generate the whole replicated corpus (GBs of content) in one task
+    # — measured ~33s at ×960 regardless of core count. Shuffling the
+    # pre-blow-up base is ~1/factor of those bytes.
+    spark = corpus.sparkSession
+    n = spark.sparkContext.defaultParallelism * 2
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
     return (
-        corpus.crossJoin(F.broadcast(reps))
+        corpus.repartition(n)
+        .crossJoin(F.broadcast(reps))
         .withColumn("path", F.concat_ws("#", "path", F.col("rep").cast("string")))
         .withColumn(
             "commit", F.sha2(F.concat_ws("#", "commit", F.col("rep").cast("string")), 256).substr(1, 40)

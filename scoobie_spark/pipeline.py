@@ -188,8 +188,15 @@ def extract_triples(
     # --- ingest + skew spreading ---------------------------------------
     # sha256 invariant is enforced INSIDE the candidates Arrow pass
     # (textproc.suffix_candidates) — no separate corpus scan.
+    # Spread the input ONLY when the source is under-parallel (one
+    # giant file / a hand-built DataFrame): at 100 TB the parquet
+    # reader's byte-bounded splits already balance the scan, and a
+    # blanket full-text shuffle of the whole input ahead of a *narrow*
+    # Arrow pass would be the dominant cost of the job. An explicit
+    # ``cfg.salt_partitions`` forces the spread (known-skewed inputs).
     n_parts = cfg.salt_partitions or spark.sparkContext.defaultParallelism * 2
-    docs = docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
+    if cfg.salt_partitions or docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
     docs = textproc.with_doc_id(docs)
 
     # --- B1-B9: candidates + gazetteer join ---------------------------
