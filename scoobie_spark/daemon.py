@@ -1,0 +1,26 @@
+"""Python worker daemon with the heavy libraries preloaded.
+
+Spark forks one Python worker per core from a single daemon process
+(``spark.python.daemon.module``). With the stock daemon every worker
+pays the numpy+pandas(+pyarrow) import on its first Arrow task —
+measured as a visible O(cores) slice of session cold-start (32 workers
+× ~0.4 s on this box). Importing them HERE, before ``manager()`` starts
+forking, lets every worker inherit the loaded modules through
+copy-on-write for free.
+
+Import only — no threads, no BLAS work — so the fork stays safe
+(OpenBLAS thread pools are spun up lazily on first use, per worker).
+"""
+
+import numpy  # noqa: F401
+import pandas  # noqa: F401
+
+try:  # Arrow is always present in this image, but stay import-safe
+    import pyarrow  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
+from pyspark.daemon import manager
+
+if __name__ == "__main__":
+    manager()

@@ -42,6 +42,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(4, cores)
 
+    # Make the preload daemon (spark.python.daemon.module below)
+    # importable by the worker daemon process no matter the cwd: the
+    # JVM gateway inherits this env when the first session launches it.
+    # On a real cluster --py-files ships the package instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -64,6 +75,11 @@ def get_spark(
         # SPARK_LOCAL_DIRS as the explicit override either way.
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _default_local_dir()))
         .config("spark.ui.enabled", "false")
+        # preload numpy/pandas/pyarrow in the worker daemon so the
+        # per-core worker forks inherit them copy-on-write instead of
+        # each paying the import on its first Arrow task (an O(cores)
+        # slice of session cold-start); see scoobie_spark/daemon.py
+        .config("spark.python.daemon.module", "scoobie_spark.daemon")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deep multi-stage plans re-embed lineage at every reuse; don't let
         # AQE's plan-change logging materialize a gigabyte explain string
