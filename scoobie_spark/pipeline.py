@@ -174,6 +174,21 @@ def assert_sha256(docs: DataFrame) -> None:
         raise Sha256MismatchError("content sha256 mismatch against source table")
 
 
+def spread_input(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Skew-spread the input corpus ONLY when the source is
+    under-parallel (one giant file / a hand-built DataFrame): at 100 TB
+    the parquet reader's byte-bounded splits already balance the scan,
+    and a blanket full-text shuffle of the whole input ahead of a
+    *narrow* Arrow pass would be the dominant cost of the job (removing
+    it was worth +65% flagship throughput at ×960 — BASELINE.md). An
+    explicit ``cfg.salt_partitions`` forces the spread (known-skewed
+    inputs)."""
+    n_parts = cfg.salt_partitions or spark.sparkContext.defaultParallelism * 2
+    if cfg.salt_partitions or docs.rdd.getNumPartitions() < n_parts:
+        return docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
+    return docs
+
+
 def extract_triples(
     spark: SparkSession,
     docs: DataFrame,
@@ -188,15 +203,7 @@ def extract_triples(
     # --- ingest + skew spreading ---------------------------------------
     # sha256 invariant is enforced INSIDE the candidates Arrow pass
     # (textproc.suffix_candidates) — no separate corpus scan.
-    # Spread the input ONLY when the source is under-parallel (one
-    # giant file / a hand-built DataFrame): at 100 TB the parquet
-    # reader's byte-bounded splits already balance the scan, and a
-    # blanket full-text shuffle of the whole input ahead of a *narrow*
-    # Arrow pass would be the dominant cost of the job. An explicit
-    # ``cfg.salt_partitions`` forces the spread (known-skewed inputs).
-    n_parts = cfg.salt_partitions or spark.sparkContext.defaultParallelism * 2
-    if cfg.salt_partitions or docs.rdd.getNumPartitions() < n_parts:
-        docs = docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
+    docs = spread_input(spark, docs, cfg)
     docs = textproc.with_doc_id(docs)
 
     # --- B1-B9: candidates + gazetteer join ---------------------------

@@ -36,3 +36,25 @@ def test_giant_repo_spreads_across_partitions(spark):
         for r in naive.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     ]
     assert max(nsizes) / (sum(nsizes) / len(nsizes)) > 2.0
+
+
+def test_input_spread_is_adaptive(spark):
+    """spread_input shuffles an under-parallel source, passes an
+    already-parallel one through untouched (at 100 TB a blanket
+    full-input shuffle ahead of a narrow Arrow pass would dominate the
+    job), and always spreads when salt_partitions forces it."""
+    from scoobie_spark.pipeline import PipelineConfig, spread_input
+
+    corpus = synth_corpus(spark, n_docs=200, n_instances=20)
+    target = spark.sparkContext.defaultParallelism * 2
+
+    narrow = corpus.coalesce(1)
+    spread = spread_input(spark, narrow, PipelineConfig())
+    assert spread.rdd.getNumPartitions() == target
+
+    wide = corpus.repartition(target + 4)
+    passed = spread_input(spark, wide, PipelineConfig())
+    assert passed is wide  # no shuffle node added at all
+
+    forced = spread_input(spark, wide, PipelineConfig(salt_partitions=8))
+    assert forced is not wide and forced.rdd.getNumPartitions() == 8
