@@ -52,24 +52,13 @@ def main() -> None:
     spark = get_spark("scoobie_spark_bench")
     qs = q.queries()
 
-    # Steady-state warm-up (JMH-style): the first job of a fresh session
-    # pays JVM codegen JIT + forking one Python/Arrow worker per core
-    # (each importing numpy+pandas) — measured 18.6s cold vs 6.7s warm
-    # for the IDENTICAL flagship plan at sf0.1/local[32]. That cost is
-    # per-session, amortized to nothing over a real workload, so the
-    # benchmark times warm queries; BASELINE.md records both numbers.
-    from pyspark.sql import functions as F
+    # Steady-state warm-up (session.warm_up, shared with
+    # scripts/scaling_bench.py): session cold-start is per-session cost
+    # that amortizes to nothing over a real workload, so the benchmark
+    # times warm queries; BASELINE.md records both numbers.
+    from scoobie_spark.session import warm_up
 
-    warm = spark.range(0, 1 << 14, 1, 64).toDF("i")
-    warm.groupBy((F.col("i") % 97).alias("k")).count().count()
-
-    def _imports(batches):
-        import numpy  # noqa: F401
-        import pandas  # noqa: F401
-
-        yield from batches
-
-    warm.mapInPandas(_imports, "i long").count()
+    warm_up(spark)
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

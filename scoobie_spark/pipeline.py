@@ -174,17 +174,43 @@ def assert_sha256(docs: DataFrame) -> None:
         raise Sha256MismatchError("content sha256 mismatch against source table")
 
 
+def _source_parallelism(docs: DataFrame) -> int:
+    """Partition count of ``docs`` WITHOUT executing anything: under
+    AQE, ``Dataset.rdd`` materializes every upstream query stage just
+    to learn the runtime partition count (measured: one real job on a
+    shuffle-bearing plan), and the actual action would then run those
+    shuffles again. With AQE briefly off, the physical plan's partition
+    counts are static and ``.rdd`` runs no shuffle stage (verified in
+    tests/test_skew.py). One residual cost: plans with broadcast joins
+    still collect their (by-definition small) dim sides at
+    ``prepare()`` — bounded by the broadcast threshold, never the
+    corpus itself."""
+    spark = docs.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        return docs.rdd.getNumPartitions()
+    finally:
+        spark.conf.set(key, prev)
+
+
 def spread_input(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Skew-spread the input corpus ONLY when the source is
     under-parallel (one giant file / a hand-built DataFrame): at 100 TB
     the parquet reader's byte-bounded splits already balance the scan,
     and a blanket full-text shuffle of the whole input ahead of a
     *narrow* Arrow pass would be the dominant cost of the job (removing
-    it was worth +65% flagship throughput at ×960 — BASELINE.md). An
-    explicit ``cfg.salt_partitions`` forces the spread (known-skewed
-    inputs)."""
+    it was worth +65% flagship throughput at ×960 — BASELINE.md).
+
+    The partition-COUNT gate cannot see row skew hiding *inside* enough
+    partitions (e.g. a filter that keeps only one repo's rows from a
+    corpus file-clustered by repo) — a narrow Arrow stage downstream
+    cannot be rebalanced by AQE either. For such inputs set
+    ``cfg.salt_partitions``, which force-spreads by
+    ``xxhash64(repo, path, commit)`` regardless of the count."""
     n_parts = cfg.salt_partitions or spark.sparkContext.defaultParallelism * 2
-    if cfg.salt_partitions or docs.rdd.getNumPartitions() < n_parts:
+    if cfg.salt_partitions or _source_parallelism(docs) < n_parts:
         return docs.repartition(n_parts, F.xxhash64("repo", "path", "commit"))
     return docs
 

@@ -45,7 +45,14 @@ def get_spark(
     # Make the preload daemon (spark.python.daemon.module below)
     # importable by the worker daemon process no matter the cwd: the
     # JVM gateway inherits this env when the first session launches it.
-    # On a real cluster --py-files ships the package instead.
+    # On a real cluster --py-files ships the package instead. If a JVM
+    # gateway ALREADY exists (some other code started Spark first), its
+    # environment is frozen without our path — configuring the custom
+    # daemon then would make every Python-UDF task die on
+    # ModuleNotFoundError, so we fall back to the stock daemon.
+    from pyspark import SparkContext
+
+    fresh_jvm = SparkContext._gateway is None
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pp = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in pp.split(os.pathsep):
@@ -75,18 +82,44 @@ def get_spark(
         # SPARK_LOCAL_DIRS as the explicit override either way.
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", _default_local_dir()))
         .config("spark.ui.enabled", "false")
-        # preload numpy/pandas/pyarrow in the worker daemon so the
-        # per-core worker forks inherit them copy-on-write instead of
-        # each paying the import on its first Arrow task (an O(cores)
-        # slice of session cold-start); see scoobie_spark/daemon.py
-        .config("spark.python.daemon.module", "scoobie_spark.daemon")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deep multi-stage plans re-embed lineage at every reuse; don't let
         # AQE's plan-change logging materialize a gigabyte explain string
         .config("spark.sql.maxPlanStringLength", str(256 * 1024))
     )
+    if fresh_jvm:
+        # preload pandas/pyarrow (numpy comes free: the stock daemon's
+        # pyspark.worker import chain already pulls it) in the worker
+        # daemon so the per-core worker forks inherit them
+        # copy-on-write instead of each paying the import on its first
+        # Arrow task (an O(cores) slice of session cold-start);
+        # see scoobie_spark/daemon.py
+        builder = builder.config(
+            "spark.python.daemon.module", "scoobie_spark.daemon"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_up(spark: SparkSession) -> None:
+    """Steady-state warm-up (JMH convention, documented in BASELINE.md):
+    the first jobs of a fresh session pay JVM codegen JIT plus one
+    Python/Arrow worker spin-up per core — measured 18.6 s cold vs
+    6.7 s warm for the IDENTICAL flagship plan at sf0.1/local[32].
+    Shared by bench.py and scripts/scaling_bench.py so the two harnesses
+    cannot drift apart."""
+    from pyspark.sql import functions as F
+
+    warm = spark.range(0, 1 << 14, 1, 64).toDF("i")
+    warm.groupBy((F.col("i") % 97).alias("k")).count().count()
+
+    def _imports(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    warm.mapInPandas(_imports, "i long").count()

@@ -32,23 +32,17 @@ import sys
 RUN_SNIPPET = r"""
 import time, os, sys
 sys.path.insert(0, ".")
-from pyspark.sql import functions as F
-from scoobie_spark.session import get_spark
+from scoobie_spark.session import get_spark, warm_up
 from scoobie_spark import queries as q
 cores = int(os.environ["BENCH_CORES"])
 spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
 sf = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
-# Steady-state warm-up, same convention as bench.py (documented in
-# BASELINE.md): JVM JIT + per-core Python worker spin-up are per-
-# SESSION costs that amortize to nothing over a real cluster job, but
-# at small N-vs-4N core counts they are an O(cores) constant that
-# would be billed to the throughput ratio.
-warm = spark.range(0, 1 << 14, 1, 64).toDF("i")
-warm.groupBy((F.col("i") % 97).alias("k")).count().count()
-def _imports(batches):
-    import numpy, pandas  # noqa: F401
-    yield from batches
-warm.mapInPandas(_imports, "i long").count()
+# Steady-state warm-up, THE SAME code as bench.py (session.warm_up —
+# one definition, the harnesses cannot drift): JVM JIT + per-core
+# Python worker spin-up are per-SESSION costs that amortize to nothing
+# on a real cluster job, but at small N-vs-4N core counts they are an
+# O(cores) constant that would be billed to the throughput ratio.
+warm_up(spark)
 t0 = time.time()
 n = q.q_flagship_triples(spark, sf).count()
 dt = time.time() - t0

@@ -2,8 +2,11 @@
 repartitioning and AQE").
 
 The pipeline spreads input by ``xxhash64(repo, path, commit)`` before
-the Arrow stages, so one giant repo cannot pin a partition: the hash
-includes path+commit, which differ per file even inside a single repo.
+the Arrow stages when the source is under-parallel or when
+``salt_partitions`` forces it (an already-parallel parquet scan passes
+through unshuffled — pipeline.spread_input). When the spread runs, one
+giant repo cannot pin a partition: the hash includes path+commit,
+which differ per file even inside a single repo.
 """
 
 from pyspark.sql import functions as F
@@ -58,3 +61,25 @@ def test_input_spread_is_adaptive(spark):
 
     forced = spread_input(spark, wide, PipelineConfig(salt_partitions=8))
     assert forced is not wide and forced.rdd.getNumPartitions() == 8
+
+
+def test_source_parallelism_probe_runs_no_job(spark):
+    """_source_parallelism must not execute upstream stages: under AQE,
+    Dataset.rdd materializes every query stage just to read a runtime
+    partition count — the probe flips AQE off for the plan build, where
+    counts are static."""
+    from scoobie_spark.pipeline import _source_parallelism
+
+    wide = (
+        spark.range(0, 100_000, 1, 4)
+        .withColumn("s", F.sha2(F.col("id").cast("string"), 256))
+        .repartition(12, "s")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert _source_parallelism(wide) == 12
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # no shuffle map stage ran (broadcast-bearing plans may still
+    # collect their tiny dim sides at prepare() — see the docstring)
+    assert after == before, "the parallelism probe executed a job"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"  # restored
