@@ -295,3 +295,47 @@ def test_np_span_filter_auto_dispatch(spark):
     got = sorted(tuple(r) for r in auto.collect())
     want = sorted(tuple(r) for r in expected.collect())
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# vectorized decode (perceptron.VectorizedPerceptron) — differential golden
+# ---------------------------------------------------------------------------
+
+
+@needs_models
+@needs_corpus
+def test_vectorized_decode_differential():
+    """The int64-matrix batch decode must reproduce the scalar dict
+    decode bit-for-bit — every POS tag and chunk tag on a slice of the
+    conll2000 test file, plus the budget-slicing path (forced tiny
+    _TOKEN_BUDGET), plus degenerate inputs."""
+    test = perceptron.read_conll2000(os.path.join(_CONLL, "test_conll2000.txt.zip"))[:400]
+    tagger = perceptron.AveragedPerceptron.load(perceptron.POS_MODEL)
+    chunker = perceptron.AveragedPerceptron.load(perceptron.CHUNK_MODEL)
+    vt, vc = perceptron._vectorize(tagger), perceptron._vectorize(chunker)
+    words_l = [[w for w, _, _ in s] for s in test]
+    tags_l = [[t for _, t, _ in s] for s in test]
+
+    scalar_pos = [perceptron.tag_sentence(tagger, ws) for ws in words_l]
+    assert perceptron.tag_sentences_vec(vt, words_l) == scalar_pos
+
+    pairs = list(zip(words_l, tags_l))
+    scalar_ch = [perceptron.chunk_sentence(chunker, ws, ts) for ws, ts in pairs]
+    assert perceptron.chunk_sentences_vec(vc, pairs) == scalar_ch
+
+    # budget-slicing path must not change a single tag
+    orig = perceptron._TOKEN_BUDGET
+    try:
+        perceptron._TOKEN_BUDGET = 64
+        assert perceptron.tag_sentences_vec(vt, words_l) == scalar_pos
+        assert perceptron.chunk_sentences_vec(vc, pairs) == scalar_ch
+    finally:
+        perceptron._TOKEN_BUDGET = orig
+
+    # degenerate shapes: no sentences, empty sentence, unicode digits
+    assert perceptron.tag_sentences_vec(vt, []) == []
+    assert perceptron.tag_sentences_vec(vt, [[]]) == [[]]
+    odd = [["m²", "Ab3", "été", "..."]]
+    assert perceptron.tag_sentences_vec(vt, odd) == [
+        perceptron.tag_sentence(tagger, odd[0])
+    ]
