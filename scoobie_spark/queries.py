@@ -893,8 +893,49 @@ def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs. Fully deterministic (FNV-1a bit votes,
+    no seeded randomness) and the band-bucket join is exact by
+    pigeonhole, so the whole pair set has a value-for-value DuckDB
+    oracle (SQL_SIMHASH) that recomputes the hashes from scratch."""
     d = _T(spark, sf, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=2)
+    return dedup.simhash_near_pairs(d, max_hamming=2).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# FNV-1a-64 per unique lowercased token (xor + ×1099511628211 mod 2^64;
+# the 105-bit product stays exact in HUGEINT), ±1 votes per bit, sign →
+# bit, then ALL pairs within hamming ≤ 2 — equal by pigeonhole to the
+# engine's 3-band bucket join (extras/dedup.py simhash_near_pairs).
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, list_reduce(
+           list_prepend(14695981039346656037::UBIGINT,
+             list_transform(generate_series(1, length(tok)), i -> ord(substring(tok, i, 1))::UBIGINT)),
+           (h, b) -> CAST((xor(h, b)::HUGEINT * 1099511628211) % 18446744073709551616 AS UBIGINT)
+         ) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit)
+  GROUP BY 1, 2
+), sh_pos AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit)::HUGEINT ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY 1
+), sh AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(u, 0) >= 9223372036854775808 THEN coalesce(u,0) - 18446744073709551616
+                   ELSE coalesce(u, 0) END AS BIGINT) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sh_pos USING (doc_id)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+"""
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -919,15 +960,82 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing fingerprints (rolling polynomial hash, min-sampled)."""
+    """Winnowing fingerprints (rolling polynomial hash, min-sampled) —
+    per doc the distinct-minima count plus the smallest/largest
+    fingerprint value, all three checked value-for-value against a
+    DuckDB replay of the full hash pipeline (SQL_FINGERPRINTS)."""
     d = _T(spark, sf, "documents")
-    return textstats.fingerprints(d).select("doc_id", "fp_count")
+    return textstats.fingerprints(d).select(
+        "doc_id",
+        F.col("fp_count").cast("long").alias("fp_count"),
+        F.array_min("fingerprint").alias("fp_min"),
+        F.array_max("fingerprint").alias("fp_max"),
+    )
+
+
+# The winnowing pipeline is exactly reproducible in SQL: token hash
+# h = (h·1000003 + byte) mod (2^61−1) via list_reduce (HUGEINT keeps
+# the 81-bit intermediate exact), the per-doc rolling hash via the same
+# prefix-sum identity the numpy kernel uses
+# (hs_i = B^(i−1)·Σ_j th_j·B^−(j−1), extras/_polyhash.py docstring) with
+# a recursive-CTE power table, and the winnow itself as a min-over-
+# 8-rows window frame. 1229363429801019168 = 1000003^−1 mod 2^61−1.
+SQL_FINGERPRINTS = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\s+'), x -> x <> '') AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, i,
+         list_reduce(
+           list_prepend(0::HUGEINT,
+             list_transform(generate_series(1, length(ts[i])), j -> ord(substring(ts[i], j, 1))::HUGEINT)),
+           (h, b) -> (h * 1000003 + b) % 2305843009213693951
+         ) AS th
+  FROM base, unnest(generate_series(1, len(ts))) AS u(i)
+  WHERE len(ts) > 0
+), powers AS (
+  SELECT 1 AS p, 1::HUGEINT AS bp, 1::HUGEINT AS ibp
+  UNION ALL
+  SELECT p + 1, (bp * 1000003) % 2305843009213693951,
+         (ibp * 1229363429801019168) % 2305843009213693951
+  FROM powers WHERE p < (SELECT max(len(ts)) FROM base)
+), hs AS (
+  SELECT t.doc_id, t.i,
+         (((sum((t.th * pw.ibp) % 2305843009213693951)
+              OVER (PARTITION BY t.doc_id ORDER BY t.i)) % 2305843009213693951)
+           * pw2.bp) % 2305843009213693951 AS h,
+         count(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM toks t JOIN powers pw ON pw.p = t.i JOIN powers pw2 ON pw2.p = t.i
+), wmins AS (
+  SELECT doc_id, i, n, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+  FROM hs
+), per_doc AS (
+  SELECT doc_id,
+         CASE WHEN any_value(n) <= 8 THEN 1
+              ELSE count(DISTINCT wmin) FILTER (i <= n - 7) END AS fp_count,
+         CASE WHEN any_value(n) <= 8 THEN min(h)
+              ELSE min(wmin) FILTER (i <= n - 7) END AS fp_min,
+         CASE WHEN any_value(n) <= 8 THEN min(h)
+              ELSE max(wmin) FILTER (i <= n - 7) END AS fp_max
+  FROM wmins
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.fp_count, 0) AS BIGINT) AS fp_count,
+       CAST(p.fp_min AS BIGINT) AS fp_min,
+       CAST(p.fp_max AS BIGINT) AS fp_max
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 
 def q_b6_noun_phrases(spark: SparkSession, sf: str) -> DataFrame:
     """B5+B6: perceptron-style POS tagging + B-NP/I-NP chunking +
     phrase stitch (Document.getNounPhrases:493-530) — phrase counts per
-    doc over the documents table."""
+    doc over the documents table. The rule tagger's left-to-right
+    prev-tag chain replays in DuckDB as a recursive CTE
+    (SQL_B6_NOUN_PHRASES), making this a full value oracle."""
     from . import pos
 
     d = _T(spark, sf, "documents").select(
@@ -935,6 +1043,71 @@ def q_b6_noun_phrases(spark: SparkSession, sf: str) -> DataFrame:
     )
     phrases = pos.noun_phrases(pos.np_chunks(pos.pos_tag(d)))
     return phrases.groupBy("doc_id").agg(F.count("*").alias("n_phrases"))
+
+
+def _sql_tag_word(w: str, prev: str) -> str:
+    """CASE-expression twin of pos._tag_word(w, prev) (closed-class
+    lexicon + suffix heuristics; prev is the previous token's tag)."""
+    lw = f"lower({w})"
+    return f"""CASE
+ WHEN {lw} IN ('the','a','an','this','that','these','those') THEN 'DT'
+ WHEN {lw} IN ('in','on','at','of','to','for','with','by','from','near','over') THEN 'IN'
+ WHEN {lw} IN ('he','she','it','they','we','you','i','his','her','its','their') THEN 'PRP'
+ WHEN {lw} IN ('and','or','but','nor') THEN 'CC'
+ WHEN {lw} IN ('is','are','was','were','be','been','am','has','have','had','do','does','did') THEN 'VBZ'
+ WHEN regexp_full_match({w}, '-?[0-9]+([.,][0-9]+)?') THEN 'CD'
+ WHEN NOT regexp_matches(substring({w},1,1), '[A-Za-z0-9]') THEN '.'
+ WHEN regexp_matches(substring({w},1,1), '[A-Z]') THEN 'NNP'
+ WHEN {lw} LIKE '%ly' THEN 'RB'
+ WHEN ({lw} LIKE '%ing' OR {lw} LIKE '%ed') AND {prev} IN ('VBZ','PRP','NNP','NN') THEN 'VBG'
+ WHEN ({lw} LIKE '%ous' OR {lw} LIKE '%ful' OR {lw} LIKE '%ive' OR {lw} LIKE '%able' OR {lw} LIKE '%al' OR {lw} LIKE '%ic') THEN 'JJ'
+ WHEN {lw} LIKE '%s' AND length({lw}) > 3 THEN (CASE WHEN {prev} IN ('NNP','NN','PRP') THEN 'VBZ' ELSE 'NNS' END)
+ ELSE 'NN' END"""
+
+
+# The rule POS chain is sequential in the previous PREDICTED tag, so
+# the oracle advances every sentence one token per recursive-CTE
+# iteration (depth = longest sentence). Splitting on the sentence
+# boundary regex drops only the [.!?]+ run before each boundary —
+# those tokens are by construction sentence-final and tag '.', i.e.
+# 'O' in the chunk layer, so per-doc phrase counts are unaffected
+# (tests/test_oracles_sql.py holds the rule/SQL pair to exact
+# equality). Chunk + stitch are plain window functions.
+SQL_B6_NOUN_PHRASES = rf"""
+WITH RECURSIVE sents AS (
+  SELECT doc_id, i AS sent_id, regexp_extract_all(parts[i], '\w+|[^\w\s]') AS toks
+  FROM (SELECT doc_id,
+               regexp_split_to_array(
+                 regexp_replace(coalesce(text,''), '(?i)<[^>]*>|&[a-z]+;', ' ', 'g'),
+                 '[.!?]+(\s+|$)') AS parts
+        FROM documents),
+       unnest(generate_series(1, len(parts))) AS u(i)
+  WHERE len(regexp_extract_all(parts[i], '\w+|[^\w\s]')) > 0
+), chain AS (
+  SELECT doc_id, sent_id, 1 AS i, len(toks) AS n, toks,
+         {_sql_tag_word('toks[1]', "'.'")} AS tag
+  FROM sents
+  UNION ALL
+  SELECT doc_id, sent_id, i+1, n, toks,
+         {_sql_tag_word('toks[i+1]', 'tag')}
+  FROM chain WHERE i < n
+), np AS (
+  SELECT doc_id, sent_id, i,
+         CASE
+           WHEN tag NOT IN ('DT','JJ','NN','NNS','NNP','CD') THEN 'O'
+           WHEN (lag(tag) OVER w IN ('JJ','NN','NNS','NNP','CD') OR lag(tag) OVER w = 'DT')
+                AND tag IN ('JJ','NN','NNS','NNP','CD') THEN 'I-NP'
+           ELSE 'B-NP'
+         END AS np
+  FROM chain
+  WINDOW w AS (PARTITION BY doc_id, sent_id ORDER BY i)
+), starts AS (
+  SELECT doc_id
+  FROM (SELECT doc_id, np, lag(np) OVER (PARTITION BY doc_id, sent_id ORDER BY i) AS pnp FROM np)
+  WHERE np = 'B-NP' OR (np = 'I-NP' AND coalesce(pnp, 'O') = 'O')
+)
+SELECT doc_id, count(*) AS n_phrases FROM starts GROUP BY doc_id
+"""
 
 
 def q_b6_noun_phrases_trained(spark: SparkSession, sf: str) -> DataFrame:
@@ -1277,10 +1450,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,
         "b17_cc_jaccard": SQL_B17_CC,
+        "text_fingerprints": SQL_FINGERPRINTS,
+        "dedup_simhash": SQL_SIMHASH,
+        "b6_noun_phrases": SQL_B6_NOUN_PHRASES,
         # rows-only (not ANSI-SQL-expressible): dedup_minhash /
-        # dedup_simhash / dedup_embedding_lsh (hash families),
-        # ann_ivf_topk (k-means), text_fingerprints (rolling hash),
-        # b6_noun_phrases (tagger), b17_components (iterative),
+        # dedup_embedding_lsh (seeded hash families), ann_ivf_topk
+        # (k-means), b6_noun_phrases_trained + token_phrase_frequency
+        # (trained perceptrons), b17_components (minhash edge set),
         # multimodal_features (binary decode), micro_* + flagship_triples
         # (full pipeline)
     }

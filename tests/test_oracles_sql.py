@@ -1,0 +1,59 @@
+"""Differential check of the round-4 derived SQL oracles.
+
+These three queries moved from rows-only to full value oracles by
+replaying their deterministic hash/rule pipelines in DuckDB
+(VERDICT r3 item 2): winnowing fingerprints, simhash near-pairs and
+the rule-path noun-phrase counts. The driver runs the same comparison
+at sf0.01; this test pins it locally at sf0.001 so a drift in either
+side fails fast.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from scoobie_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _rows(df_rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in order) for r in df_rows)
+
+
+@needs_testdata
+@pytest.mark.parametrize(
+    "name", ["text_fingerprints", "dedup_simhash", "b6_noun_phrases"]
+)
+def test_derived_oracle_matches(spark, name):
+    sdf = q.queries()[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    res = con.execute(q.oracle_sql()[name])
+    oracle_cols = [d[0] for d in res.description]
+    oracle_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(oracle_cols)
+    assert len(spark_rows) == len(oracle_rows)
+    assert _rows(spark_rows, spark_cols) == _rows(oracle_rows, oracle_cols)
