@@ -885,11 +885,98 @@ SELECT doc_id, CASE WHEN {mx} = 0 THEN 'und' {case} END AS lang_guess FROM v
 SQL_LANG_ID = _lang_sql()
 
 
-# --- rows-only entries (no SQL-expressible oracle) -------------------------
-
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs. Deterministic end to end — signature
+    i = min over shingles of Spark's xxhash64(shingle, i), banding is a
+    pure function of the signature — so a DuckDB replay that
+    re-implements xxhash64 in SQL (scoobie_spark/xxh64_sql.py) verifies
+    the whole pipeline value-for-value: every signature minimum, the
+    banded candidate join, and the estimate filter."""
     d = _T(spark, sf, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=0.5)
+
+
+def _sql_minhash_cte() -> str:
+    """Shared CTE chain ending in near-dup pairs ``mh(a, b,
+    jaccard_est)`` — the SQL twin of dedup.minhash_lsh_pairs(n=3,
+    num_hashes=32, bands=8, threshold=0.5). xxhash64 runs bit-for-bit
+    in SQL (UBIGINT bit ops + HUGEINT intermediates); Spark buckets on
+    xxhash64 of the comma-joined band values while the oracle joins on
+    the joined string itself — identical short of a 2^-64 collision."""
+    from .xxh64_sql import hashint_sql, xxh64_string_ctes
+
+    ctes, final = xxh64_string_ctes("xx", "sh", "shingle", "doc_id, shingle")
+    g0, g1, g2, g3, gf = hashint_sql("seed", "h")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT) - 18446744073709551616"
+        f" ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return (
+        r"""sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents),
+       unnest(range(1, greatest(len(t)-3, 0) + 2)) AS u(i)
+  WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+), """
+        + ctes
+        + f""", seeded AS (
+  SELECT doc_id, h, seed FROM {final}, (SELECT unnest(generate_series(0, 31)) AS seed)
+), s0 AS (SELECT *, {g0} AS g0 FROM seeded
+), s1 AS (SELECT *, {g1} AS g1 FROM s0
+), s2 AS (SELECT *, {g2} AS g2 FROM s1
+), s3 AS (SELECT *, {g3} AS g3 FROM s2
+), sv AS (
+  SELECT doc_id, seed, min({signed}) AS v
+  FROM s3 GROUP BY 1, 2
+), sigs AS MATERIALIZED (
+  SELECT doc_id, list(v ORDER BY seed) AS sig FROM sv GROUP BY 1
+), banded AS (
+  SELECT doc_id, band, array_to_string(sig[band*4+1:band*4+4], ',') AS bkey
+  FROM sigs, (SELECT unnest(generate_series(0, 7)) AS band)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+), mh AS MATERIALIZED (
+  SELECT a, b,
+         len(list_filter(generate_series(1, 32), k -> sa.sig[k] = sb.sig[k])) / 32.0 AS jaccard_est
+  FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b
+  WHERE len(list_filter(generate_series(1, 32), k -> sa.sig[k] = sb.sig[k])) / 32.0 >= 0.5
+)"""
+    )
+
+
+SQL_MINHASH = (
+    "WITH RECURSIVE " + _sql_minhash_cte() + "\nSELECT a, b, jaccard_est FROM mh"
+)
+
+
+# CC over the minhash pair graph: same derived-oracle shape as
+# SQL_B17_CC — the edge set is the (now oracle-green) minhash pair set,
+# the component assignment a recursive-CTE transitive closure.
+SQL_B17_COMPONENTS = (
+    "WITH RECURSIVE "
+    + _sql_minhash_cte()
+    + """, edges AS (
+  SELECT a AS src, b AS dst FROM mh
+  UNION
+  SELECT b, a FROM mh
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), csizes AS (
+  SELECT component, count(*) AS size FROM comp GROUP BY 1
+)
+SELECT size, count(*) AS n_components FROM csizes GROUP BY 1
+"""
+)
+
+
+# --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1153,7 +1240,10 @@ def q_b17_components(spark: SparkSession, sf: str) -> DataFrame:
     """B17: distributed connected components (min-label propagation) over
     the MinHash near-duplicate pair graph → near-dup cluster size
     histogram (the corpus-level CC twin of the per-doc union-find used
-    in disambiguation; also the dedup 'keep one per cluster' primitive)."""
+    in disambiguation; also the dedup 'keep one per cluster' primitive).
+    Now fully oracled (SQL_B17_COMPONENTS): the edge set replays via the
+    SQL xxhash64 minhash twin, the components via a recursive-CTE
+    transitive closure."""
     from . import graph
 
     d = _T(spark, sf, "documents")
@@ -1453,10 +1543,11 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": SQL_FINGERPRINTS,
         "dedup_simhash": SQL_SIMHASH,
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,
-        # rows-only (not ANSI-SQL-expressible): dedup_minhash /
-        # dedup_embedding_lsh (seeded hash families), ann_ivf_topk
-        # (k-means), b6_noun_phrases_trained + token_phrase_frequency
-        # (trained perceptrons), b17_components (minhash edge set),
-        # multimodal_features (binary decode), micro_* + flagship_triples
-        # (full pipeline)
+        "dedup_minhash": SQL_MINHASH,
+        "b17_components": SQL_B17_COMPONENTS,
+        # rows-only (not ANSI-SQL-expressible): dedup_embedding_lsh +
+        # ann_ivf_topk (numpy-seeded planes / k-means),
+        # b6_noun_phrases_trained + token_phrase_frequency (trained
+        # perceptrons), multimodal_features (binary decode),
+        # micro_* + flagship_triples (full pipeline)
     }

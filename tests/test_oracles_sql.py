@@ -1,11 +1,13 @@
 """Differential check of the round-4 derived SQL oracles.
 
-These three queries moved from rows-only to full value oracles by
-replaying their deterministic hash/rule pipelines in DuckDB
-(VERDICT r3 item 2): winnowing fingerprints, simhash near-pairs and
-the rule-path noun-phrase counts. The driver runs the same comparison
-at sf0.01; this test pins it locally at sf0.001 so a drift in either
-side fails fast.
+These queries moved from rows-only to full value oracles by replaying
+their deterministic hash/rule pipelines in DuckDB (VERDICT r3 item 2):
+winnowing fingerprints, simhash near-pairs, the rule-path noun-phrase
+counts, minhash-LSH pairs (xxhash64 re-implemented bit-for-bit in SQL,
+scoobie_spark/xxh64_sql.py) and the connected-component histogram over
+the minhash pair graph. The driver runs the same comparison at sf0.01;
+this test pins it locally at sf0.001 so a drift in either side fails
+fast.
 """
 
 from __future__ import annotations
@@ -40,7 +42,14 @@ def _rows(df_rows, cols):
 
 @needs_testdata
 @pytest.mark.parametrize(
-    "name", ["text_fingerprints", "dedup_simhash", "b6_noun_phrases"]
+    "name",
+    [
+        "text_fingerprints",
+        "dedup_simhash",
+        "b6_noun_phrases",
+        "dedup_minhash",
+        "b17_components",
+    ],
 )
 def test_derived_oracle_matches(spark, name):
     sdf = q.queries()[name](spark, SF_DIR)
