@@ -1293,13 +1293,56 @@ SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary multimodal columns: deterministic synthetic media
     + Arrow-batched decode-stub feature extraction (real plumbing,
-    stubbed codec)."""
+    stubbed codec). Oracled (SQL_MULTIMODAL): the synthesis contract is
+    sha256-seeded, so DuckDB independently recomputes ids, kinds,
+    payload sizes, the payload byte SUM (a content check on the binary
+    column end to end — DuckDB has sha256) and the feature arity."""
     from .extras import multimodal
 
     media = multimodal.synthesize_media(spark, n=64)
-    return multimodal.extract_features(media).select(
-        "media_id", "kind", "n_bytes", F.size("feature").alias("feat_dim")
+    byte_sum = media.select(
+        "media_id",
+        F.expr(
+            "aggregate(transform(sequence(1, octet_length(payload)),"
+            " k -> cast(conv(substr(hex(payload), 2*k-1, 2), 16, 10) AS long)),"
+            " 0L, (a, b) -> a + b)"
+        ).alias("byte_sum"),
     )
+    return (
+        multimodal.extract_features(media)
+        .join(byte_sum, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.size("feature").cast("long").alias("feat_dim"),
+            "byte_sum",
+        )
+    )
+
+
+# Independent replay of the synthesize_media spec (extras/multimodal.py:
+# payload = sha256("media-<i>") digest repeated 4 + i%5 times): every
+# column recomputes from the spec alone, so a drift anywhere in the
+# binary plumbing (sizes, content, feature arity) hash-mismatches.
+SQL_MULTIMODAL = """
+WITH d AS (
+  SELECT i, sha256('media-' || i) AS hx, 4 + i % 5 AS reps
+  FROM (SELECT unnest(generate_series(0, 63)) AS i)
+), bs AS (
+  SELECT i, reps,
+         sum((position(substring(hx, 2*k-1, 1) IN '0123456789abcdef') - 1) * 16
+           + (position(substring(hx, 2*k, 1) IN '0123456789abcdef') - 1)) AS dsum
+  FROM d, (SELECT unnest(generate_series(1, 32)) AS k)
+  GROUP BY 1, 2
+)
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(32 * reps AS BIGINT) AS n_bytes,
+       CAST(16 AS BIGINT) AS feat_dim,
+       CAST(dsum * reps AS BIGINT) AS byte_sum
+FROM bs
+"""
 
 
 def q_b14_classify(spark: SparkSession, sf: str) -> DataFrame:
@@ -1545,9 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,
         "dedup_minhash": SQL_MINHASH,
         "b17_components": SQL_B17_COMPONENTS,
+        "multimodal_features": SQL_MULTIMODAL,
         # rows-only (not ANSI-SQL-expressible): dedup_embedding_lsh +
         # ann_ivf_topk (numpy-seeded planes / k-means),
         # b6_noun_phrases_trained + token_phrase_frequency (trained
-        # perceptrons), multimodal_features (binary decode),
-        # micro_* + flagship_triples (full pipeline)
+        # perceptrons), micro_* + flagship_triples (full pipeline)
     }

@@ -49,6 +49,7 @@ def _rows(df_rows, cols):
         "b6_noun_phrases",
         "dedup_minhash",
         "b17_components",
+        "multimodal_features",
     ],
 )
 def test_derived_oracle_matches(spark, name):
