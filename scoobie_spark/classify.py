@@ -359,6 +359,24 @@ def training_pairs(
         kb.literals.withColumnRenamed("id", "lit"), "lit"
     ).select("s", "literal")
     pairs = lits.join(types, "s").select("literal", "cls").distinct()
+    # skew guard: the row_number window sorts each class inside ONE
+    # task, so a hot class (10^7 Person literals at DBpedia scale) must
+    # be thinned BEFORE the window. A deterministic hash filter keeps
+    # ~4× the cap per oversized class (binomial spread at that count is
+    # a few permille — never starves the cap); classes at ≤ 4×cap pass
+    # untouched, so small-KB outputs are byte-identical to the uncapped
+    # ordering. Cap semantics stay deterministic: first `sample_per_
+    # class` by literal order among hash-kept rows.
+    counts = pairs.groupBy("cls").agg(F.count("*").alias("n_cls"))
+    thin_k = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("n_cls") / (4 * sample_per_class)).cast("long"),
+    )
+    pairs = (
+        pairs.join(F.broadcast(counts), "cls")
+        .filter(F.pmod(F.xxhash64("literal"), thin_k) == 0)
+        .select("literal", "cls")
+    )
     w = Window.partitionBy("cls").orderBy("literal")
     return (
         pairs.withColumn("rn", F.row_number().over(w))

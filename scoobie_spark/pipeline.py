@@ -179,20 +179,23 @@ def _source_parallelism(docs: DataFrame) -> int:
     AQE, ``Dataset.rdd`` materializes every upstream query stage just
     to learn the runtime partition count (measured: one real job on a
     shuffle-bearing plan), and the actual action would then run those
-    shuffles again. With AQE briefly off, the physical plan's partition
-    counts are static and ``.rdd`` runs no shuffle stage (verified in
-    tests/test_skew.py). One residual cost: plans with broadcast joins
-    still collect their (by-definition small) dim sides at
-    ``prepare()`` — bounded by the broadcast threshold, never the
-    corpus itself."""
-    spark = docs.sparkSession
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "false")
-        return docs.rdd.getNumPartitions()
-    finally:
-        spark.conf.set(key, prev)
+    shuffles again. Instead of toggling AQE off session-wide (a race:
+    any query another thread plans during the probe window — e.g.
+    streaming's foreachBatch — would silently lose AQE and its
+    skew-join splitting), read the count from ``queryExecution().
+    sparkPlan()`` — the physical plan BEFORE adaptive preparation,
+    whose partition counts are static, built without touching session
+    conf. Under AQE the executed plan is AdaptiveSparkPlanExec; its
+    ``initialPlan`` is that same static plan after stage preparation
+    (exchanges planted), so ``execute()`` on it only assembles the RDD
+    chain lazily (verified job-free in tests/test_skew.py). One
+    residual cost: plans with broadcast joins still collect their
+    (by-definition small) dim sides at prepare — bounded by the
+    broadcast threshold, never the corpus itself."""
+    plan = docs._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    return plan.execute().getNumPartitions()
 
 
 def spread_input(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:

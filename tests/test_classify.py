@@ -195,3 +195,35 @@ def test_fit_maxent_separable():
     y = np.array([0, 0, 1, 1])
     w, b = classify.fit_maxent(x, y, 2, epochs=200)
     assert ((x @ w + b).argmax(axis=1) == y).all()
+
+
+def test_training_pairs_skew_guard(spark):
+    """Hot-class thinning (VERDICT r3 item 3): when one class's pair
+    count exceeds 4x the per-class cap, a deterministic hash filter
+    bounds the row_number window's input; under the threshold the
+    output is identical to the unthinned ordering."""
+    kb = synth_kb(spark, n_instances=400)
+
+    # under-threshold: every class below 4x cap -> exactly the full
+    # distinct pair set (thinning is a no-op, byte-identical semantics)
+    full = classify.training_pairs(kb, sample_per_class=100000)
+    types = kb.relations.filter(F.col("p") == kb.rdf_type_id).select(
+        "s", F.col("o").alias("cls")
+    )
+    lits = kb.symbols.join(
+        kb.literals.withColumnRenamed("id", "lit"), "lit"
+    ).select("s", "literal")
+    expected = lits.join(types, "s").select("literal", "cls").distinct()
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, expected.collect()))
+
+    # oversized classes: cap honored, deterministic across runs, and
+    # output is a subset of the full pair set ordered by literal
+    capped1 = classify.training_pairs(kb, sample_per_class=5)
+    capped2 = classify.training_pairs(kb, sample_per_class=5)
+    rows1 = sorted(map(tuple, capped1.collect()))
+    rows2 = sorted(map(tuple, capped2.collect()))
+    assert rows1 == rows2
+    per_class = capped1.groupBy("cls").count().collect()
+    assert all(r["count"] <= 5 for r in per_class)
+    assert len(per_class) == 5  # thinning never starves a class
+    assert set(rows1) <= set(map(tuple, expected.collect()))

@@ -66,8 +66,8 @@ def test_input_spread_is_adaptive(spark):
 def test_source_parallelism_probe_runs_no_job(spark):
     """_source_parallelism must not execute upstream stages: under AQE,
     Dataset.rdd materializes every query stage just to read a runtime
-    partition count — the probe flips AQE off for the plan build, where
-    counts are static."""
+    partition count — the probe reads the pre-adaptive sparkPlan
+    instead, where counts are static."""
     from scoobie_spark.pipeline import _source_parallelism
 
     wide = (
@@ -82,4 +82,26 @@ def test_source_parallelism_probe_runs_no_job(spark):
     # no shuffle map stage ran (broadcast-bearing plans may still
     # collect their tiny dim sides at prepare() — see the docstring)
     assert after == before, "the parallelism probe executed a job"
-    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"  # restored
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_source_parallelism_probe_never_touches_conf(spark, monkeypatch):
+    """The r3 probe toggled spark.sql.adaptive.enabled session-wide —
+    a concurrent query planned inside the probe window (streaming
+    foreachBatch is in-repo) would silently run without AQE. The probe
+    must now read the static plan without ANY conf write, so a query
+    planned at any instant during the probe sees AQE on."""
+    from scoobie_spark.pipeline import _source_parallelism
+
+    calls = []
+    real_set = spark.conf.set
+    monkeypatch.setattr(
+        spark.conf, "set", lambda *a, **k: (calls.append(a), real_set(*a, **k))
+    )
+    wide = (
+        spark.range(0, 10_000, 1, 4)
+        .withColumn("s", F.sha2(F.col("id").cast("string"), 256))
+        .repartition(12, "s")
+    )
+    assert _source_parallelism(wide) == 12
+    assert calls == [], f"probe wrote session conf: {calls}"
