@@ -851,6 +851,7 @@ def disambiguation_experiment(
     text_zip: str,
     labels_zip: str,
     resolvers: list[str] | None = None,
+    with_classification: bool = False,
 ) -> list[dict]:
     """``DisambiguationExperiment.testWikipediaCorpus:254-290`` replay:
     every graph resolver (random, HITS, HITS2, pagerank, hub, authority,
@@ -865,12 +866,45 @@ def disambiguation_experiment(
     :func:`_labeled_kb_corpus` (the reference queries full DBpedia).
     Pooling is corpus-wide rather than the reference's per-doc CSV
     lines — same comparisons, one aggregate per resolver. Returns
-    ``evaluate.resolver_pr``'s one-dict-per-resolver list."""
+    ``evaluate.resolver_pr``'s one-dict-per-resolver list.
+
+    ``with_classification=True`` adds the reference's classification
+    resolver (``EntityDisambiguation.compare`` includes
+    ``ClassificationBasedResolver``), training the B14 maxent on the
+    corpus KB's own (literal, rdf:type-cluster) pairs — the reference
+    trains on its full-DBpedia Postgres instance. Artifact constraint:
+    every bundled text+label corpus (wikipedia, wikinews, gutenberg)
+    ships label dumps WITHOUT rdf:type statements, and the one typed
+    dump (bbc_nature) ships no text corpus — so on bundled corpora this
+    raises with the blocking artifact named. The resolver itself runs
+    the full protocol on any typed KB: the frozen row lives in
+    tests/test_resolvers.py::test_resolver_pr_classification_frozen
+    over a typed fixture KB."""
     from .evaluate import resolver_pr
 
     kb, gt, docs = _labeled_kb_corpus(spark, text_zip, labels_zip)
     gt_uris = {r["gt_uri"] for r in gt.select("gt_uri").distinct().collect()}
-    return resolver_pr(docs, kb, gt_uris, resolvers)
+    classifier = None
+    if with_classification:
+        n_typed = (
+            kb.relations.filter(F.col("p") == kb.rdf_type_id).count()
+            if kb.rdf_type_id is not None
+            else 0
+        )
+        if not n_typed:
+            raise ValueError(
+                "classification resolver needs rdf:type statements in the "
+                f"label dumps; {labels_zip} carries none (blocking artifact: "
+                "the reference trains on its full-DBpedia KB, which is not "
+                "bundled — bbc_nature_labels.zip has types but no text corpus)"
+            )
+        from .classify import train_entity_classifier, training_pairs
+        from .kb.stats import type_clusters
+
+        clusters = type_clusters(kb, sample_per_type=None)
+        model = train_entity_classifier(training_pairs(kb, clusters))
+        classifier = (model, clusters)
+    return resolver_pr(docs, kb, gt_uris, resolvers, classifier=classifier)
 
 
 # ---------------------------------------------------------------------------

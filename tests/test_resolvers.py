@@ -362,3 +362,72 @@ def test_resolver_pr_sweep_all_strategies(spark):
     assert by_name["degree"]["recall"] >= by_name["random"]["recall"]
     # the reference's log line fields all materialize
     assert by_name["hub"]["missed"] or by_name["hub"]["true"]
+
+
+def test_resolver_pr_classification_frozen(spark):
+    """The reference's resolver comparison includes the classification
+    resolver (EntityDisambiguation.compare:467-566); the bundled
+    text+label corpora ship untyped label dumps, so the FROZEN
+    classification row runs the same resolver_pr protocol over the
+    typed fixture KB: 'Korinsson' is ambiguous between a Person (GT,
+    morphology says person) and a Place — classification resolves it
+    to exactly the Person (P=R=1.0) while random keeps a coin flip
+    (n_found=1, correctness by seed). Training uses the reference's
+    per-class LIMIT sampling (sample_per_class=9 keeps the first 9
+    literals per class alphabetically), which deterministically leaves
+    the ambiguous surface itself UNSEEN — seen-with-both-classes
+    literals train to ~0.5 and the reference's 0.6 margin correctly
+    abstains on them; the interesting resolver case is the unseen
+    surface decided by morphology."""
+    import hashlib
+
+    from scoobie_spark.classify import train_entity_classifier, training_pairs
+    from scoobie_spark.evaluate import resolver_pr
+    from scoobie_spark.kb.stats import type_clusters
+
+    kb, amb_p, amb_l, uid, lid = _classification_kb(spark)
+    clusters = type_clusters(kb, sample_per_type=None)
+    model = train_entity_classifier(
+        training_pairs(kb, clusters, sample_per_class=9), epochs=1200
+    )
+
+    text = "Korinsson visited Oakville and met Karinsson near Pineville."
+    docs = spark.createDataFrame(
+        [("r", "k.txt", "c0", "en", text, hashlib.sha256(text.encode()).hexdigest())],
+        "repo string, path string, commit string, lang string, content string, sha256 string",
+    )
+    gt = {EX + "inst/AmbP"}
+    rows = resolver_pr(
+        docs, kb, gt, resolvers=["random"], classifier=(model, clusters)
+    )
+    by = {r["resolver"]: r for r in rows}
+    assert set(by) == {"random", "classification"}
+    # frozen: classification picks the morphology-consistent Person
+    assert by["classification"]["n_gt"] == 1
+    assert by["classification"]["n_found"] == 1
+    assert by["classification"]["precision"] == 1.0
+    assert by["classification"]["recall"] == 1.0
+    assert by["classification"]["true"] == [EX + "inst/AmbP"]
+    # random resolves the component to exactly one candidate either way
+    assert by["random"]["n_found"] == 1
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/corpora/wikipedia/wikipedia_labels.zip"
+    ),
+    reason="reference wikipedia corpus not present",
+)
+def test_disambiguation_experiment_classification_blocked(spark):
+    """On the bundled wikipedia corpus the classification leg must fail
+    loudly with the blocking artifact named (label dumps carry no
+    rdf:type; the typed bbc_nature dump has no text corpus)."""
+    from scoobie_spark import experiments as E
+
+    with pytest.raises(ValueError, match="rdf:type"):
+        E.disambiguation_experiment(
+            spark,
+            "/root/reference/corpora/wikipedia/wikipedia_text.zip",
+            "/root/reference/corpora/wikipedia/wikipedia_labels.zip",
+            with_classification=True,
+        )
