@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "a13_markov",
     "a14_type_cooccurrence",
     "b3_token_counts",
+    "b6_noun_phrases",
+    "b6_noun_phrases_trained",
     "b9_phrase_spotting",
     "b13_regex_counts",
     "b24_recommend_topk",
