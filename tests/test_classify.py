@@ -227,3 +227,11 @@ def test_training_pairs_skew_guard(spark):
     assert all(r["count"] <= 5 for r in per_class)
     assert len(per_class) == 5  # thinning never starves a class
     assert set(rows1) <= set(map(tuple, expected.collect()))
+
+    # plan shape: the hash filter must sit BELOW the row_number window
+    # (the whole point — the window's single-task sort sees the thinned
+    # input, not the hot class's full pair set). Simple explain prints
+    # parents above children, so Window must appear before pmod.
+    plan = capped1._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("pmod")
