@@ -411,6 +411,19 @@ def embedding_near_dupes(
                 )
 
     bucketed = cols.mapInPandas(bucketize, "doc_id long, table int, bucket long")
+    return _bucket_candidates_verify(cols, bucketed, threshold)
+
+
+def _bucket_candidates_verify(
+    cols: DataFrame, bucketed: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared LSH tail: OR-amplified (table, bucket) equi-join carrying
+    ids only → distinct candidate pairs → exact f64 cosine verify after
+    the per-pair vector rejoin. The signature table is cached — the
+    self-join reads it twice, and without the cache every signature
+    (an Arrow batch or a 24-fold projection per row) is computed
+    twice."""
+    bucketed = bucketed.cache()
     cand = (
         bucketed.select(F.col("doc_id").alias("a"), "table", "bucket")
         .join(
@@ -439,3 +452,73 @@ def embedding_near_dupes(
         # rejoin even though cand_ids is distinct
         .distinct()
     )
+
+
+def embedding_near_dupes_hashplanes(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine ≥ threshold) via hash-derived ±1 hyperplanes: plane
+    entry (t, p, d) is the FNV-1a-64 parity of the ASCII key ``"t:p:d"``
+    — sign random projections with Rademacher entries (Achlioptas-style
+    database-friendly projections, public knowledge), a pure function of
+    the coordinates rather than RNG state. Two things the seeded-Gaussian
+    variant (:func:`embedding_near_dupes`) cannot offer: the signature
+    math runs entirely JVM-side (codegen'd zip_with/aggregate folds
+    against literal ±1 arrays — zero Python in the hot path), and the
+    whole query is replayable value-for-value in ANSI SQL
+    (queries.SQL_EMBEDDING_LSH rebuilds the identical planes from the
+    same FNV bytes). Bucket/verify tail shared with the Gaussian
+    variant. The f64 fold order matches the oracle exactly: products
+    first (zip_with), then a strictly sequential left fold from 0.0."""
+    dim = len(emb.select(vec).first()[0])
+    cols = emb.select(
+        F.col(key).alias("doc_id"), F.col(vec).cast("array<double>").alias("v")
+    )
+
+    def plane(t: int, p: int):
+        return F.array(
+            *[
+                F.lit(1.0 if int(_fnv1a64(f"{t}:{p}:{d}")) & 1 else -1.0)
+                for d in range(dim)
+            ]
+        )
+
+    def proj(t: int, p: int):
+        # products first (zip_with), then a strictly sequential left
+        # fold from 0.0 — the exact IEEE op sequence the oracle's
+        # list_reduce replays. (A flat codegen'd ±v[d] chain was tried
+        # and reverted: 24 × 128-node literal trees blow up Catalyst
+        # constraint propagation and fall out of codegen anyway.)
+        return F.aggregate(
+            F.zip_with(F.col("v"), plane(t, p), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(t: int):
+        b = F.lit(0).cast("long")
+        for p in range(n_planes):
+            b = b + F.when(proj(t, p) > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
+    bucketed = cols.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"), bucket(t).alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("doc_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    return _bucket_candidates_verify(cols, bucketed, threshold)

@@ -16,6 +16,7 @@ and a query touches n_probe partitions instead of the full corpus.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -114,6 +115,97 @@ def assign_cells(df: DataFrame, cents: np.ndarray, key: str, vec: str) -> DataFr
     # vectors pass through as DOUBLE so the final re-rank truly is
     # exact-precision (only the cell-assignment math runs in f32)
     return cols.mapInPandas(gen, "id long, cell int, v array<double>")
+
+
+def ivf_flat_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a FLAT deterministic quantizer — the
+    fully relational IVF leg. The cells are the ``n_cells`` corpus
+    vectors ranked first by ``xxhash64(int(key))`` (the same hash-spread
+    selection rule :func:`train_centroids` uses for its k-means sample,
+    minus the Lloyd refinement), collected driver-side as the
+    broadcastable quantizer model. Assignment (argmax cosine, ties →
+    lowest cell id), probe (top ``n_probe`` cells per query) and the
+    exact re-rank are all Column expressions against literal centroid
+    arrays: zero Python, zero extra shuffle (assignment and probe are
+    narrow maps), and therefore the whole query is value-replayable in
+    ANSI SQL (queries.SQL_ANN_IVF_FLAT replays the hashInt selection
+    bit-for-bit). Cell ids are the centroid rows' keys. The k-means
+    variant (:func:`ivf_topk`) stays the quality path; this one trades
+    quantizer balance for end-to-end verifiability and a pure-JVM plan.
+
+    Note: the SQL replay of the quantizer selection assumes the key fits
+    an int32 (Spark hashes the cast int via hashInt)."""
+    e = corpus.select(
+        F.col(key).alias("cid"), F.col(vec).cast("array<double>").alias("cv")
+    )
+    cent_rows = (
+        e.orderBy(F.xxhash64(F.col("cid").cast("int")).asc(), F.col("cid").asc())
+        .limit(n_cells)
+        .collect()
+    )
+
+    def _py_norm(xs):
+        # bit-identical to _norm's sequential fold (0.0 + x0² + x1² …):
+        # the centroid is a literal model, so its norm is a literal too
+        acc = 0.0
+        for x in xs:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    def cell_sims(vcol):
+        # struct(sim, -cell): max → highest sim, ties → LOWEST cell id;
+        # descending sort → sim desc, ties cell asc — both match the
+        # oracle's ORDER BY sim DESC, cell ASC. Centroid norms are
+        # driver-side constants; only the dot and the row norm fold at
+        # runtime.
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        _dot(vcol, F.array(*[F.lit(float(x)) for x in r["cv"]]))
+                        / (_norm(vcol) * F.lit(_py_norm(r["cv"])))
+                    ).alias("s"),
+                    F.lit(-int(r["cid"])).cast("long").alias("negcell"),
+                )
+                for r in cent_rows
+            ]
+        )
+
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"), F.col(vec).cast("array<double>").alias("v")
+    )
+    assigned = c.withColumn("best", F.array_max(cell_sims(F.col("v")))).select(
+        "neighbor_id", (-F.col("best.negcell")).alias("cell"), "v"
+    )
+    q = queries.select(
+        F.col(key).alias("query_id"), F.col(vec).cast("array<double>").alias("qv")
+    )
+    probes = (
+        q.withColumn(
+            "top", F.slice(F.reverse(F.array_sort(cell_sims(F.col("qv")))), 1, n_probe)
+        )
+        .select("query_id", F.explode("top").alias("pc"), "qv")
+        .select("query_id", (-F.col("pc.negcell")).alias("cell"), "qv")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def ivf_topk(

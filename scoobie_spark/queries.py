@@ -1026,11 +1026,60 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup (scale path; dedup_embedding_exact
-    is its correctness baseline — recall asserted in tests)."""
+    """Hyperplane-LSH near-dup via hash-derived ±1 (Rademacher) planes —
+    signatures entirely JVM-side, dedup_embedding_exact is the recall
+    baseline, and (unlike the seeded-Gaussian variant, kept as
+    dedup.embedding_near_dupes for pytest) the planes are a pure
+    function of their coordinates, so SQL_EMBEDDING_LSH replays the
+    whole query value-for-value: plane parities from the same FNV-1a
+    bytes, the identical sequential f64 projection fold, the
+    OR-amplified bucket join, and the exact-cosine verify."""
     e = _T(spark, sf, "embeddings")
-    out = dedup.embedding_near_dupes(e, threshold=0.35, n_planes=6)
+    out = dedup.embedding_near_dupes_hashplanes(e, threshold=0.35, n_planes=6)
     return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+# Plane entry (t, p, d) = parity of FNV-1a-64("t:p:d") mapped to ±1.0;
+# projection = products first (list_transform ≙ zip_with), then a
+# strictly sequential left fold from 0.0 (list_reduce ≙ F.aggregate) —
+# identical IEEE op sequence to the Spark side, so the sign test and
+# bucket agree bit-for-bit. Candidate join and raw-cosine ≥ threshold
+# mirror the engine ordering (filter before the display rounding).
+SQL_EMBEDDING_LSH = r"""
+WITH e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+pk AS (
+  SELECT t, p, d, t::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR AS s
+  FROM generate_series(0, 3) AS ts(t),
+       generate_series(0, 5) AS ps(p),
+       generate_series(0, 63) AS ds(d)
+), pl AS (
+  SELECT t, p, d,
+         CASE WHEN list_reduce(
+             list_prepend(14695981039346656037::UBIGINT,
+               list_transform(generate_series(1, length(s)), i -> ord(substring(s, i, 1))::UBIGINT)),
+             (h, b) -> CAST((xor(h, b)::HUGEINT * 1099511628211) % 18446744073709551616 AS UBIGINT)
+           ) & 1 = 1 THEN 1.0 ELSE -1.0 END AS w
+  FROM pk
+), planes AS MATERIALIZED (
+  SELECT t, p, list(w ORDER BY d) AS pw FROM pl GROUP BY t, p
+), proj AS (
+  SELECT e.doc_id, pl.t, pl.p,
+         list_reduce(
+           list_prepend(0.0, list_transform(generate_series(1, 64), i -> e.v[i] * pl.pw[i])),
+           (a, b) -> a + b) AS pr
+  FROM e CROSS JOIN planes pl
+), buckets AS (
+  SELECT doc_id, t, sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+  FROM proj GROUP BY doc_id, t
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y
+    ON x.t = y.t AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+FROM cand c JOIN e ea ON ea.doc_id = c.a JOIN e eb ON eb.doc_id = c.b
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1044,6 +1093,69 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+def q_ann_ivf_flat(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with the FLAT hash-sampled quantizer — the zero-Python,
+    zero-extra-shuffle IVF leg whose every step (hashInt centroid
+    selection, argmax assignment, probe, re-rank) SQL_ANN_IVF_FLAT
+    replays value-for-value. Complements ann_ivf_topk (k-means
+    quantizer, recall-tested), which RNG keeps rows-only."""
+    e = _T(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_flat_topk(e, q, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _sql_ann_ivf_flat() -> str:
+    """DuckDB twin of q_ann_ivf_flat: centroids = 16 embeddings ranked
+    by Spark's xxhash64(int(vec_id)) (hashInt replayed bit-for-bit,
+    compared as SIGNED like Spark orders its longs), assignment =
+    argmax cosine with cell-id tie-break, probe = top-4 cells, exact
+    cosine re-rank top-5."""
+    from .xxh64_sql import hashint_sql
+
+    g0, g1, g2, g3, gf = hashint_sql("vec_id", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT) - 18446744073709551616"
+        f" ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+h0 AS (SELECT vec_id, v, {g0} AS g0 FROM e),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell, v AS cv FROM h3 ORDER BY {signed}, vec_id LIMIT 16
+), asg AS (
+  SELECT e.vec_id AS neighbor_id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c
+  QUALIFY rn = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, c.cell, q.v AS qv,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell) AS rn
+  FROM e q CROSS JOIN cents c WHERE q.vec_id < 3
+  QUALIFY rn <= 4
+)
+SELECT p.query_id, a.neighbor_id,
+       round(list_cosine_similarity(p.qv, a.v), 4) AS cosine,
+       row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.neighbor_id) AS rank
+FROM probes p JOIN asg a USING (cell)
+WHERE a.neighbor_id <> p.query_id
+QUALIFY rank <= 5
+"""
+
+
+SQL_ANN_IVF_FLAT = _sql_ann_ivf_flat()
 
 
 def q_text_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -1526,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_flat": q_ann_ivf_flat,
         "dedup_minhash": q_minhash_pairs,
         "dedup_simhash": q_simhash_pairs,
         "text_fingerprints": q_text_fingerprints,
@@ -1589,8 +1702,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_MINHASH,
         "b17_components": SQL_B17_COMPONENTS,
         "multimodal_features": SQL_MULTIMODAL,
-        # rows-only (not ANSI-SQL-expressible): dedup_embedding_lsh +
-        # ann_ivf_topk (numpy-seeded planes / k-means),
+        "dedup_embedding_lsh": SQL_EMBEDDING_LSH,
+        "ann_ivf_flat": SQL_ANN_IVF_FLAT,
+        # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
+        # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
+        # carries the value oracle for the IVF machinery),
         # b6_noun_phrases_trained + token_phrase_frequency (trained
         # perceptrons), micro_* + flagship_triples (full pipeline)
     }

@@ -70,6 +70,17 @@ def test_embedding_near_dupes(spark, emb):
     assert (0, 2) not in pairs
 
 
+def test_embedding_near_dupes_hashplanes(spark, emb):
+    # the Rademacher (hash-derived ±1 plane) variant finds the same
+    # near-dup and rejects the anti-correlated pair; being a pure
+    # function of coordinates it is also run-to-run identical
+    out1 = {(r["a"], r["b"]) for r in dedup.embedding_near_dupes_hashplanes(emb, threshold=0.9, n_planes=6).collect()}
+    out2 = {(r["a"], r["b"]) for r in dedup.embedding_near_dupes_hashplanes(emb, threshold=0.9, n_planes=6).collect()}
+    assert (0, 1) in out1
+    assert (0, 2) not in out1
+    assert out1 == out2
+
+
 def test_cosine_topk_exact(spark, emb):
     out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
     rows = out.orderBy("rank").collect()
@@ -93,6 +104,25 @@ def test_ivf_matches_bruteforce_top1(spark):
         for r in similarity.ivf_topk(emb, q, k=1, n_cells=4, n_probe=4).collect()
     }
     # probing all cells ⇒ IVF == brute force
+    assert approx == exact
+
+
+def test_ivf_flat_matches_bruteforce_top1(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.ivf_flat_topk(emb, q, k=1, n_cells=4, n_probe=4).collect()
+    }
+    # probing all cells ⇒ the FLAT-quantizer IVF == brute force too
     assert approx == exact
 
 

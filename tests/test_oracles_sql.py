@@ -4,10 +4,12 @@ These queries moved from rows-only to full value oracles by replaying
 their deterministic hash/rule pipelines in DuckDB (VERDICT r3 item 2):
 winnowing fingerprints, simhash near-pairs, the rule-path noun-phrase
 counts, minhash-LSH pairs (xxhash64 re-implemented bit-for-bit in SQL,
-scoobie_spark/xxh64_sql.py) and the connected-component histogram over
-the minhash pair graph. The driver runs the same comparison at sf0.01;
-this test pins it locally at sf0.001 so a drift in either side fails
-fast.
+scoobie_spark/xxh64_sql.py), the connected-component histogram over
+the minhash pair graph, hash-plane (Rademacher) embedding LSH (FNV-1a
+plane parities + sequential f64 folds replayed in SQL) and the FLAT
+hash-quantizer IVF (hashInt centroid selection replayed in SQL). The
+driver runs the same comparison at sf0.01; this test pins it locally
+at sf0.001 so a drift in either side fails fast.
 """
 
 from __future__ import annotations
@@ -50,6 +52,8 @@ def _rows(df_rows, cols):
         "dedup_minhash",
         "b17_components",
         "multimodal_features",
+        "dedup_embedding_lsh",
+        "ann_ivf_flat",
     ],
 )
 def test_derived_oracle_matches(spark, name):
@@ -58,7 +62,7 @@ def test_derived_oracle_matches(spark, name):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb.connect()
-    for t in ("documents",):
+    for t in ("documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     res = con.execute(q.oracle_sql()[name])
     oracle_cols = [d[0] for d in res.description]
