@@ -1027,13 +1027,14 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH near-dup via hash-derived ±1 (Rademacher) planes —
-    signatures entirely JVM-side, dedup_embedding_exact is the recall
-    baseline, and (unlike the seeded-Gaussian variant, kept as
-    dedup.embedding_near_dupes for pytest) the planes are a pure
-    function of their coordinates, so SQL_EMBEDDING_LSH replays the
-    whole query value-for-value: plane parities from the same FNV-1a
-    bytes, the identical sequential f64 projection fold, the
-    OR-amplified bucket join, and the exact-cosine verify."""
+    dedup_embedding_exact is the recall baseline, and (unlike the
+    seeded-Gaussian variant, kept as dedup.embedding_near_dupes for
+    pytest) the planes are a pure function of their coordinates, so
+    SQL_EMBEDDING_LSH replays the whole query value-for-value: plane
+    parities from the same FNV-1a bytes, the identical sequential f64
+    projection fold (the Arrow kernel's cumsum IS that fold —
+    differential-tested against the zero-Python Column-fold twin),
+    the OR-amplified bucket join, and the exact-cosine verify."""
     e = _T(spark, sf, "embeddings")
     out = dedup.embedding_near_dupes_hashplanes(e, threshold=0.35, n_planes=6)
     return out.select("a", "b", F.round("cosine", 4).alias("cosine"))

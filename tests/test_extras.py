@@ -73,12 +73,25 @@ def test_embedding_near_dupes(spark, emb):
 def test_embedding_near_dupes_hashplanes(spark, emb):
     # the Rademacher (hash-derived ±1 plane) variant finds the same
     # near-dup and rejects the anti-correlated pair; being a pure
-    # function of coordinates it is also run-to-run identical
-    out1 = {(r["a"], r["b"]) for r in dedup.embedding_near_dupes_hashplanes(emb, threshold=0.9, n_planes=6).collect()}
-    out2 = {(r["a"], r["b"]) for r in dedup.embedding_near_dupes_hashplanes(emb, threshold=0.9, n_planes=6).collect()}
-    assert (0, 1) in out1
-    assert (0, 2) not in out1
-    assert out1 == out2
+    # function of coordinates it is also run-to-run identical, and the
+    # Arrow cumsum kernel is bit-equal to the Column zip_with/aggregate
+    # fold (the structural twin of the SQL oracle)
+    arrow = {
+        tuple(r)
+        for r in dedup.embedding_near_dupes_hashplanes(
+            emb, threshold=0.9, n_planes=6, impl="arrow"
+        ).collect()
+    }
+    column = {
+        tuple(r)
+        for r in dedup.embedding_near_dupes_hashplanes(
+            emb, threshold=0.9, n_planes=6, impl="column"
+        ).collect()
+    }
+    pairs = {(a, b) for a, b, _ in arrow}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+    assert arrow == column
 
 
 def test_cosine_topk_exact(spark, emb):
