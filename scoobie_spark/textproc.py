@@ -60,6 +60,33 @@ def _normalize_series(s: pd.Series) -> pd.Series:
     return s.map(lambda t: _TAG_RE.sub(lambda m: " " * (m.end() - m.start()), t))
 
 
+# _TAG_RE over a NUL-joined multi-document buffer: excluding NUL from
+# the tag body makes a cross-document match impossible, so one sub over
+# the joined buffer ≡ per-document subs (the entity alternative cannot
+# span NUL either: \0 is not [a-z]).
+_TAG_RE_NUL = re.compile(r"<[^>\0]*>|&[a-z]+;", re.IGNORECASE)
+
+# ASCII char classes for the vectorized tokenizer: 1 = word (\w), 2 =
+# whitespace (\s incl. the \x1c-\x1f separators unicode regex counts).
+# One table gather replaces ~8 full-text compare passes — this stage is
+# memory-bandwidth-bound at high core counts.
+_CHAR_CLASS = np.zeros(256, dtype=np.uint8)
+_CHAR_CLASS[48:58] = _CHAR_CLASS[65:91] = _CHAR_CLASS[97:123] = 1
+_CHAR_CLASS[95] = 1
+_CHAR_CLASS[32] = _CHAR_CLASS[9:14] = _CHAR_CLASS[28:32] = 2
+
+# token-head eligibility tables (SuffixArray.java:114 isLetterOrDigit;
+# the np_filter variant keeps only upper/digit heads)
+_HEAD_ALNUM = np.zeros(256, dtype=bool)
+_HEAD_ALNUM[48:58] = _HEAD_ALNUM[65:91] = _HEAD_ALNUM[97:123] = True
+_HEAD_NP = np.zeros(256, dtype=bool)
+_HEAD_NP[48:58] = _HEAD_NP[65:91] = True
+
+# 31^k table for the vectorized Java string hash of ≤4-char prefixes
+_POW31 = np.array([1, 31, 961, 29791], dtype=np.int64)
+_POW31_32 = _POW31.astype(np.int32)
+
+
 def with_doc_id(docs: DataFrame) -> DataFrame:
     """Stable 64-bit doc key from (repo, path, commit) — deterministic on
     any cluster, no monotonically_increasing_id partition dependence."""
@@ -135,6 +162,9 @@ def suffix_candidates(
     spot join — often the pipeline's largest byte volume.
     """
     prefix_arr = np.asarray(sorted(set(int(p) for p in kb_prefixes)), dtype=np.int64)
+    # Java hashCodes are int32 by construction; the ASCII fast path
+    # probes this narrower copy (same sort order — int32-range values)
+    prefix_arr32 = prefix_arr.astype(np.int32)
     prefix_set = set(prefix_arr.tolist())  # O(1) probes for the slow path
 
     sha_cols = ["sha256"] if check_sha256 and "sha256" in docs.columns else []
@@ -151,38 +181,96 @@ def suffix_candidates(
         matches; suffix slices are clipped at each document's end.
         """
         joined = "\0".join(texts)
+        # B1 offset-preserving markup strip, one pass over the whole
+        # chunk instead of a per-document Series.map — and skipped
+        # entirely via memchr when the chunk has no tag/entity lead
+        # character at all (code/plain corpora: the common case)
+        if "<" in joined or "&" in joined:
+            joined = _TAG_RE_NUL.sub(lambda m: " " * (m.end() - m.start()), joined)
         # document start offset of each text within `joined`
         lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
         doc_off = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(lens[:-1] + 1, out=doc_off[1:])
         doc_end = doc_off + lens
 
-        is_ascii = joined.isascii()
-        if is_ascii:
-            cp = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(np.int64)
+        if joined.isascii():
+            # ASCII fast path — the overwhelmingly common case, and the
+            # stage is memory-bandwidth-bound at high core counts (×960
+            # profile: summed task time inflates +58% from 8→32 cores),
+            # so every pass is dtype-minimal: uint8 for full-text scans,
+            # int32 for the per-token window math. Two structural facts
+            # this branch exploits: an ascii-encoded buffer can't
+            # contain a >127 char, so the generic path's
+            # pure_ascii_prefix test is vacuously true and its python
+            # slow path (non-ASCII windows) is provably empty.
+            cp = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
             # numpy tokenizer ≡ _TOKEN_RE (\w+|[^\w\s]) for ASCII text:
             # starts = word-run heads + every lone non-word non-space
-            # char (NUL separators land in the second class and are
-            # dropped by the first-char class filter below) — the regex
-            # finditer was O(tokens) python, the hot loop of this stage
-            w = (
-                ((cp >= 48) & (cp <= 57)) | ((cp >= 65) & (cp <= 90))
-                | ((cp >= 97) & (cp <= 122)) | (cp == 95)
-            )
-            # \s also covers the ASCII separators \x1c-\x1f in unicode
-            # regex semantics
-            sp = (cp == 32) | ((cp >= 9) & (cp <= 13)) | ((cp >= 28) & (cp <= 31))
+            # char — the regex finditer was O(tokens) python, the hot
+            # loop of this stage
+            cls = _CHAR_CLASS[cp]
+            w = cls == 1
+            sp = cls == 2
             prev_w = np.concatenate(([False], w[:-1]))
             starts = np.flatnonzero((w & ~prev_w) | (~w & ~sp))
-        else:
-            cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            starts = np.fromiter(
-                (m.start() for m in _TOKEN_RE.finditer(joined)), dtype=np.int64
+            if len(starts) == 0:
+                return None
+            cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.uint8)])
+            # head-class filter BEFORE any window work (only letter/
+            # digit heads probe the gazetteer; NUL separators are class
+            # 0 and drop here too) — the downstream cost is per
+            # surviving start, so filter first
+            starts = starts[(_HEAD_NP if np_filter else _HEAD_ALNUM)[cp_pad[starts]]]
+            if len(starts) == 0:
+                return None
+            # every surviving start is an alnum char inside some doc,
+            # so n_avail ≥ 1 by construction
+            didx = np.searchsorted(doc_end, starts, side="right").clip(
+                0, len(texts) - 1
             )
+            n_avail = np.minimum(4, doc_end[didx] - starts).astype(np.int32)
+            win = np.stack(
+                [cp_pad[starts + k] for k in range(4)], axis=1
+            ).astype(np.int32)
+            # Java's left-fold string hash over the first n_avail chars
+            # is the polynomial sum_{k<n} c_k * 31^(n-1-k); ASCII chars
+            # keep it under 127·(31³+31²+31+1) < 2³¹, so int32 holds it
+            # exactly and the 32-bit wrap + sign fold are no-ops
+            exp = n_avail[:, None] - 1 - np.arange(4, dtype=np.int32)[None, :]
+            pw = np.where(exp >= 0, _POW31_32[np.clip(exp, 0, 3)], 0)
+            h_or = (win * pw).sum(axis=1, dtype=np.int32)
+            lo_win = np.where((win >= 65) & (win <= 90), win + 32, win)
+            h_lo = (lo_win * pw).sum(axis=1, dtype=np.int32)
+
+            def _in32(h):
+                # prefix_arr32 is sorted & deduped at build time:
+                # searchsorted probes it in place (np.isin re-sorts a
+                # concatenated copy on every call)
+                if len(prefix_arr32) == 0:
+                    return np.zeros(len(h), dtype=bool)
+                idx = np.minimum(
+                    np.searchsorted(prefix_arr32, h), len(prefix_arr32) - 1
+                )
+                return prefix_arr32[idx] == h
+
+            m_lo = _in32(h_lo)
+            m_or = (h_or != h_lo) & _in32(h_or)
+            out_start = np.concatenate([starts[m_lo], starts[m_or]])
+            out_hash = np.concatenate([h_lo[m_lo], h_or[m_or]])
+            out_didx = np.concatenate([didx[m_lo], didx[m_or]])
+            begin_local = out_start - doc_off[out_didx]
+            return out_didx, begin_local, out_hash, out_start, joined, doc_end
+
+        # generic (non-ASCII buffer) path: regex tokenizer + exact
+        # python fallback for tokens whose 4-char window leaves ASCII
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        starts = np.fromiter(
+            (m.start() for m in _TOKEN_RE.finditer(joined)), dtype=np.int64
+        )
         if len(starts) == 0:
             return None
-        cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.int64)])
-        first = cp_pad[starts]
+        cp_pad = np.concatenate([cp, np.zeros(4, dtype=np.uint32)])
+        first = cp_pad[starts].astype(np.int64)
         if np_filter:
             ascii_alnum = ((first >= 48) & (first <= 57)) | (
                 (first >= 65) & (first <= 90)
@@ -202,24 +290,37 @@ def suffix_candidates(
         # token starts sitting ON a NUL separator map to the next doc's
         # range check below and fail it → filtered
         n_avail = np.minimum(4, doc_end[didx] - starts)
-        win = np.stack([cp_pad[starts + k] for k in range(4)], axis=1)
+        win = np.stack([cp_pad[starts + k] for k in range(4)], axis=1).astype(np.int64)
         pure_ascii_prefix = (
             win * (np.arange(4)[None, :] < n_avail[:, None]) <= 127
         ).all(axis=1)
         lo_win = np.where((win >= 65) & (win <= 90), win + 32, win)
 
+        # same polynomial-expansion hash as the fast path, in int64
+        # (codepoints up to 0x10FFFF overflow int32), with the exact
+        # 32-bit wrap + sign fold Java applies
+        exp = n_avail[:, None] - 1 - np.arange(4)[None, :]
+        pw = np.where(exp >= 0, _POW31[np.clip(exp, 0, 3)], 0)
+
         def _hash(w):
-            h = np.zeros(len(starts), dtype=np.int64)
-            for k in range(4):
-                h = np.where(n_avail > k, h * 31 + w[:, k], h)
+            h = (w * pw).sum(axis=1)
             h &= 0xFFFFFFFF
             return np.where(h >= 2**31, h - 2**32, h)
 
         h_or = _hash(win)
         h_lo = _hash(lo_win)
+
+        def _in_prefixes(h):
+            if len(prefix_arr) == 0:
+                return np.zeros(len(h), dtype=bool)
+            idx = np.minimum(
+                np.searchsorted(prefix_arr, h), len(prefix_arr) - 1
+            )
+            return prefix_arr[idx] == h
+
         fast = ascii_alnum & pure_ascii_prefix & (n_avail > 0)
-        m_lo = fast & np.isin(h_lo, prefix_arr)
-        m_or = fast & (h_or != h_lo) & np.isin(h_or, prefix_arr)
+        m_lo = fast & _in_prefixes(h_lo)
+        m_or = fast & (h_or != h_lo) & _in_prefixes(h_or)
 
         out_start = np.concatenate([starts[m_lo], starts[m_or]])
         out_hash = np.concatenate([h_lo[m_lo], h_or[m_or]])
@@ -268,7 +369,9 @@ def suffix_candidates(
                         raise RuntimeError(
                             "sha256 invariant violated: content hash mismatch"
                         )
-            texts = _normalize_series(pdf["content"]).tolist()
+            # markup normalization happens per joined chunk inside
+            # batch_candidates (one regex pass, memchr-gated)
+            texts = pdf["content"].tolist()
             if not texts:
                 continue
             ids = pdf["doc_id"].values

@@ -19,6 +19,14 @@ Fidelity details:
 
 Usage: python scripts/scaling_bench.py [runs] [cores...]
 Env: SPARK_GRAFT_CORPUS_FACTOR / SPARK_GRAFT_FILLER_REPEAT / SF_DIR.
+     SPARK_GRAFT_INTERLEAVE=1 alternates the levels per round (1,4,1,4
+     instead of 1,1,4,4) and re-probes the pure-CPU burn immediately
+     before EVERY run: the shared VM's speed drifts on ~10-minute
+     scales (measured: the 4-core burn moved −20% between two ladders
+     an hour apart), so blocked ordering lets drift masquerade as
+     (in)efficiency. Per-run burns also yield a drift-corrected
+     efficiency: each run's tps is normalized by its own same-minute
+     burn before the cross-level ratio.
 """
 
 from __future__ import annotations
@@ -101,19 +109,31 @@ def burn_run(cores: int) -> float:
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     levels = [int(c) for c in sys.argv[2:]] or [8, 32]
+    interleave = os.environ.get("SPARK_GRAFT_INTERLEAVE") == "1"
     os.environ.setdefault("SPARK_GRAFT_CORPUS_FACTOR", "240")
     os.environ.setdefault("SPARK_GRAFT_FILLER_REPEAT", "5")
 
     burn = {c: statistics.median(burn_run(c) for _ in range(3)) for c in levels}
     print(f"burn iters/s: {burn}", flush=True)
 
-    results: dict[int, list[dict]] = {}
-    for cores in levels:
-        results[cores] = []
-        for i in range(runs):
-            r = one_run(cores)
-            results[cores].append(r)
-            print(f"run cores={cores} #{i+1}: {r['sec']}s {r['tps']} t/s", flush=True)
+    results: dict[int, list[dict]] = {c: [] for c in levels}
+    order = (
+        [c for _ in range(runs) for c in levels]  # 1,4,1,4 — drift-fair
+        if interleave
+        else [c for c in levels for _ in range(runs)]
+    )
+    for cores in order:
+        if interleave:
+            # same-minute hardware probe: one burn right before the run
+            pre_burn = burn_run(cores)
+        r = one_run(cores)
+        if interleave:
+            r["pre_burn"] = pre_burn
+            r["tps_per_burn"] = round(r["tps"] / pre_burn * 1e6, 3)
+        results[cores].append(r)
+        i = len(results[cores])
+        extra = f" (burn {r['pre_burn']/1e6:.1f}M)" if interleave else ""
+        print(f"run cores={cores} #{i}: {r['sec']}s {r['tps']} t/s{extra}", flush=True)
 
     medians = {
         c: statistics.median(r["sec"] for r in rs) for c, rs in results.items()
@@ -125,6 +145,7 @@ def main() -> None:
             "sf_dir": os.environ.get("SF_DIR", "/root/testdata/sf0.1"),
             "runs": runs,
             "pinned": True,
+            "interleaved": interleave,
         },
         "median_sec": medians,
         "median_tps": {
@@ -141,6 +162,13 @@ def main() -> None:
         report[f"hw_ceiling_{lo}to{hi}"] = round(ceiling, 3)
         report[f"efficiency_{lo}to{hi}"] = round(speedup / (hi / lo), 3)
         report[f"efficiency_norm_{lo}to{hi}"] = round(speedup / ceiling, 3)
+        if interleave:
+            # drift-corrected analogue of efficiency_norm: each run's
+            # tps normalized by its own same-minute burn; if the job
+            # scaled exactly like the hardware ceiling the ratio is 1.0
+            npb_lo = statistics.median(r["tps_per_burn"] for r in results[lo])
+            npb_hi = statistics.median(r["tps_per_burn"] for r in results[hi])
+            report[f"efficiency_norm_dc_{lo}to{hi}"] = round(npb_hi / npb_lo, 3)
     print("SCALING " + json.dumps(report))
 
 

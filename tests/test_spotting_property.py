@@ -124,26 +124,108 @@ def test_filter_mentions_tiny_arrow_batches(spark, batch):
 
 
 def test_numpy_tokenizer_matches_regex():
-    """The ASCII fast-path token-start mask in suffix_candidates must be
-    position-identical to the _TOKEN_RE (\\w+|[^\\w\\s]) scan, including
-    NUL separators, underscores, digits, and punctuation runs."""
+    """The ASCII fast-path token-start mask in suffix_candidates (the
+    production _CHAR_CLASS table) must be position-identical to the
+    _TOKEN_RE (\\w+|[^\\w\\s]) scan, including NUL separators,
+    underscores, digits, and punctuation runs."""
     import random
 
     import numpy as np
 
-    from scoobie_spark.textproc import _TOKEN_RE
+    from scoobie_spark.textproc import _CHAR_CLASS, _TOKEN_RE
 
     random.seed(1)
     alphabet = "ab C1_.,!?-\t\n \0xyz#\x1c\x1d\x1e\x1f"
     for _ in range(300):
         s = "".join(random.choices(alphabet, k=random.randint(0, 200)))
-        cp = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
-        w = (
-            ((cp >= 48) & (cp <= 57)) | ((cp >= 65) & (cp <= 90))
-            | ((cp >= 97) & (cp <= 122)) | (cp == 95)
-        )
-        sp = (cp == 32) | ((cp >= 9) & (cp <= 13)) | ((cp >= 28) & (cp <= 31))
+        cls = _CHAR_CLASS[np.frombuffer(s.encode("ascii"), dtype=np.uint8)]
+        w = cls == 1
+        sp = cls == 2
         prev_w = np.concatenate(([False], w[:-1]))
         got = np.flatnonzero((w & ~prev_w) | (~w & ~sp)).tolist()
         want = [m.start() for m in _TOKEN_RE.finditer(s)]
         assert got == want, s.encode()
+
+
+def _naive_candidates(texts, prefixes, np_filter, max_suffix_len):
+    """Reference-faithful per-document candidate generation: _TOKEN_RE
+    starts, isLetterOrDigit head gate (upper/digit under np_filter),
+    java hash of the ≤4-char prefix in both cases, membership in the KB
+    prefix set (SuffixArray.java:114-117)."""
+    from scoobie_spark.hashing import java_hash_prefix_py
+    from scoobie_spark.textproc import _TOKEN_RE
+
+    pref = set(int(p) for p in prefixes)
+    out = set()
+    for didx, t in enumerate(texts):
+        for m in _TOKEN_RE.finditer(t):
+            a = m.start()
+            ch = t[a]
+            if np_filter:
+                if not (ch.isupper() or ch.isdigit()):
+                    continue
+            elif not ch.isalnum():
+                continue
+            p4 = t[a : a + 4]
+            hl, ho = java_hash_prefix_py(p4.lower()), java_hash_prefix_py(p4)
+            suffix = t[a : a + max_suffix_len]
+            if hl in pref:
+                out.add((didx, a, hl, suffix))
+            if ho != hl and ho in pref:
+                out.add((didx, a, ho, suffix))
+    return out
+
+
+@pytest.mark.parametrize("np_filter", [False, True])
+@pytest.mark.parametrize("ascii_only", [True, False])
+def test_suffix_candidates_kernel_matches_naive(np_filter, ascii_only):
+    """Differential test of the whole batch_candidates kernel against
+    the naive per-doc reimplementation — captured via a fake DataFrame
+    so it runs without Spark. ascii_only=True pins the int32 fast path
+    (a single non-ASCII char routes the whole chunk to the generic
+    path), ascii_only=False the generic/unicode path."""
+    import random
+
+    import pandas as pd
+
+    from scoobie_spark import textproc as tp
+    from scoobie_spark.hashing import java_hash_prefix_py
+
+    random.seed(7)
+    words = ["Alpha", "beta", "Gamma", "Ärzte", "x1", "_u", "N.A.S.A", "<b>t</b>"]
+    if ascii_only:
+        words = [w for w in words if w.isascii()]
+    texts = []
+    for _ in range(40):
+        texts.append(" ".join(random.choices(words, k=random.randint(0, 30))))
+    texts += ["", "   ", "\0"]  # edge chunks
+    if not ascii_only:
+        texts.append("Älpha Alpha")
+    # prefixes for a mix of the words, both cases
+    prefixes = {java_hash_prefix_py(w[:4].lower()) for w in words if w[0].isalnum()}
+    prefixes |= {java_hash_prefix_py("Alph"), java_hash_prefix_py("Gamm")}
+
+    captured = {}
+
+    class FakeDF:
+        columns = ["doc_id", "content"]
+
+        def select(self, *a, **k):
+            return self
+
+        def mapInPandas(self, fn, schema):
+            captured["fn"] = fn
+            return None
+
+    tp.suffix_candidates(FakeDF(), prefixes, np_filter=np_filter, max_suffix_len=10)
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "content": texts})
+    got = set()
+    for out in captured["fn"](iter([pdf])):
+        got |= {
+            (r.doc_id, r.begin, r.hash, r.suffix)
+            for r in out.itertuples(index=False)
+        }
+    # naive side normalizes markup the same way the kernel does
+    norm = [tp.normalize_text(t) for t in texts]
+    want = _naive_candidates(norm, prefixes, np_filter, max_suffix_len=10)
+    assert got == want
