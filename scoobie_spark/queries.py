@@ -1483,43 +1483,37 @@ def q_b14_classify(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("cls").agg(F.count("*").alias("n_accepted"))
 
 
-def q_micro_pipeline_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Flagship on the micro fixture with the PageRank resolver (B20
-    non-default strategy, PageRankBasedResolver.java:44-85)."""
-    from .fixtures import micro_docs, micro_kb
-    from .pipeline import PipelineConfig, extract_triples
-
-    return extract_triples(
-        spark,
-        micro_docs(spark),
-        micro_kb(spark),
-        PipelineConfig(materialize_kb=False, resolver="pagerank"),
-    )
-
-
-def _q_micro_pipeline(resolver: str):
+def _q_resolver(resolver: str):
     def q(spark: SparkSession, sf: str) -> DataFrame:
-        from .fixtures import micro_docs, micro_kb
+        from .fixtures import synth_corpus, synth_kb
         from .pipeline import PipelineConfig, extract_triples
 
+        corpus = synth_corpus(spark, docs=_T(spark, sf, "documents"), n_instances=200)
+        kb = synth_kb(spark, n_instances=200)
         return extract_triples(
-            spark,
-            micro_docs(spark),
-            micro_kb(spark),
-            PipelineConfig(materialize_kb=False, resolver=resolver),
+            spark, corpus, kb, PipelineConfig(materialize_kb=False, resolver=resolver)
         )
 
     q.__doc__ = (
-        f"Flagship on the micro fixture with the {resolver} resolver (B20; "
+        f"The full pipeline with the {resolver} resolver (B20 non-default "
+        "strategy; PageRankBasedResolver.java:44-85 / "
         "HitsBasedResolver.java:55-66 / Hits2BasedResolver.java:54-65 / "
-        "RandomResolver.java — random is the deterministic non-parity flag)."
+        "RandomResolver.java — random is the deterministic non-parity "
+        "flag) over the ambiguity-bearing synthetic corpus. Upgraded in "
+        "round 4 from the micro fixture, where NO component is ambiguous "
+        "(each phrase maps to one subject) so the resolver never fired; "
+        "here ~10% of labels are shared by two subjects and every "
+        "resolver choice is value-verified by the SQL twin "
+        "(flagship_sql.py resolver score CTEs). The micro-fixture e2e "
+        "stays covered by the MICRO_EXPECTED_TRIPLES pytest goldens."
     )
     return q
 
 
-q_micro_pipeline_hits = _q_micro_pipeline("hits")
-q_micro_pipeline_hits2 = _q_micro_pipeline("hits2")
-q_micro_pipeline_random = _q_micro_pipeline("random")
+q_resolver_pagerank = _q_resolver("pagerank")
+q_resolver_hits = _q_resolver("hits")
+q_resolver_hits2 = _q_resolver("hits2")
+q_resolver_random = _q_resolver("random")
 
 
 def q_micro_pipeline_classification(spark: SparkSession, sf: str) -> DataFrame:
@@ -1650,15 +1644,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_cc_jaccard": q_b17_cc_jaccard,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
-        "micro_pipeline_pagerank": q_micro_pipeline_pagerank,
-        "micro_pipeline_hits": q_micro_pipeline_hits,
-        "micro_pipeline_hits2": q_micro_pipeline_hits2,
-        "micro_pipeline_random": q_micro_pipeline_random,
+        "resolver_pagerank": q_resolver_pagerank,
+        "resolver_hits": q_resolver_hits,
+        "resolver_hits2": q_resolver_hits2,
+        "resolver_random": q_resolver_random,
         "micro_pipeline_classification": q_micro_pipeline_classification,
         "b24_cf_eval": q_b24_cf_eval,
         "micro_rdfa": q_micro_rdfa,
         "flagship_triples": q_flagship_triples,
     }
+
+
+def _flagship_sql(resolver: str = "degree") -> str:
+    from .flagship_sql import flagship_oracle_sql
+
+    return flagship_oracle_sql(resolver=resolver)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1705,9 +1705,22 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL,
         "dedup_embedding_lsh": SQL_EMBEDDING_LSH,
         "ann_ivf_flat": SQL_ANN_IVF_FLAT,
+        # THE flagship — full B1-B25 pipeline replayed in SQL
+        # (corpus/KB synthesis, chained-xxhash64 doc ids, positional
+        # spotting, span filters, degree disambiguation, serialization;
+        # scoobie_spark/flagship_sql.py documents each equivalence)
+        "flagship_triples": _flagship_sql(),
+        # B20 resolver variants over the same corpus: pagerank/HITS are
+        # unrolled-iteration f64 replays, random is splitmix64 in
+        # UBIGINT ops (flagship_sql.py)
+        "resolver_pagerank": _flagship_sql("pagerank"),
+        "resolver_hits": _flagship_sql("hits"),
+        "resolver_hits2": _flagship_sql("hits2"),
+        "resolver_random": _flagship_sql("random"),
         # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
         # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
         # carries the value oracle for the IVF machinery),
         # b6_noun_phrases_trained + token_phrase_frequency (trained
-        # perceptrons), micro_* + flagship_triples (full pipeline)
+        # perceptrons), micro_pipeline_classification (trained maxent),
+        # micro_rdfa (markup serializer), b14/b24_cf_eval (models)
     }

@@ -73,18 +73,37 @@ def merge_step(h: str, v: str) -> str:
     return add64(mul64(f"xor({h}, {rnd0(v)})", P1), str(P4))
 
 
-def xxh64_string_ctes(prefix: str, src: str, s: str, carry: str) -> tuple[str, str]:
-    """CTE chain computing h = XXH64(utf8(s), seed=42) per row of
+def xxh64_string_ctes(
+    prefix: str, src: str, s: str, carry: str, seed: "int | str" = 42
+) -> tuple[str, str]:
+    """CTE chain computing h = XXH64(utf8(s), seed) per row of
     ``src``. ASCII input assumed (byte == ord(char) — the driver
     testdata is verified ASCII). Returns (ctes_sql, final_cte_name);
     the final CTE has columns ``{carry}`` (pass-through, e.g. doc_id +
-    the string) and ``h`` (UBIGINT hash)."""
-    seed = 42
-    v1c = (seed + P1 + P2) & MASK
-    v2c = (seed + P2) & MASK
-    v3c = seed & MASK
-    v4c = (seed - P1) & MASK
-    h_short = (seed + P5) & MASK
+    the string) and ``h`` (UBIGINT hash).
+
+    ``seed`` is an int (default 42, Spark's xxhash64 seed) or a SQL
+    expression over ``src``'s columns — Spark's multi-column
+    ``xxhash64(c1, c2, ...)`` folds left, each column's hash seeding
+    the next (catalyst XxHash64), so a chained replay passes the
+    previous final CTE's ``h`` here."""
+    if isinstance(seed, int):
+        v1c: str = str((seed + P1 + P2) & MASK)
+        v2c: str = str((seed + P2) & MASK)
+        v3c: str = str(seed & MASK)
+        v4c: str = str((seed - P1) & MASK)
+        h_short: str = str((seed + P5) & MASK)
+        seed_col = ""
+    else:
+        # per-row seed: lane inits become columns carried from _b on
+        seed_col = (
+            f", {add64(add64(f'({seed})', str(P1)), str(P2))} AS xv1"
+            f", {add64(f'({seed})', str(P2))} AS xv2"
+            f", CAST(({seed}) AS UBIGINT) AS xv3"
+            f", {add64(f'({seed})', str((-P1) & MASK))} AS xv4"
+            f", {add64(f'({seed})', str(P5))} AS xhs"
+        )
+        v1c, v2c, v3c, v4c, h_short = "xv1", "xv2", "xv3", "xv4", "xhs"
 
     stripe_el = "CAST(el[1] AS INT)"
     lam = (
@@ -103,7 +122,7 @@ def xxh64_string_ctes(prefix: str, src: str, s: str, carry: str) -> tuple[str, s
     ctes = f"""{prefix}_b AS (
   SELECT {carry},
          length({s}) AS n,
-         list_transform(generate_series(1, length({s})), i -> ord(substring({s}, i, 1))::UBIGINT) AS bl
+         list_transform(generate_series(1, length({s})), i -> ord(substring({s}, i, 1))::UBIGINT) AS bl{seed_col}
   FROM {src}
 ), {prefix}_w AS (
   SELECT *, list_transform(generate_series(0, n//8 - 1), k ->
