@@ -220,7 +220,6 @@ def flagship_oracle_sql(
 ) -> str:
     n = n_instances
     nf, nl = len(_FIRST), len(_LAST)
-    score_ctes = _RESOLVER_SCORE_SQL[resolver]()
 
     # --- doc_id = xxhash64(repo, path, commit), chained ----------------
     x1, f1 = xxh64_string_ctes("x1", "corp", "repo", "path, commit_c, content")
@@ -314,7 +313,121 @@ corp AS MATERIALIZED (
 docs AS MATERIALIZED (
   SELECT {_signed64('h')} AS doc_id, content FROM {f3}
 ),
--- ====================== B7-B9: spotting =============================
+{_engine_ctes(resolver)}
+{_TRIPLES_TAIL}"""
+
+
+def _esc(expr: str) -> str:
+    """Python html.escape(s, quote=True) as a SQL replace chain, same
+    order (& first, then < > \" ')."""
+    e = f"replace({expr}, '&', '&amp;')"
+    e = f"replace({e}, '<', '&lt;')"
+    e = f"replace({e}, '>', '&gt;')"
+    e = f"replace({e}, '\"', '&quot;')"
+    return f"replace({e}, chr(39), '&#x27;')"
+
+
+def micro_rdfa_oracle_sql() -> str:
+    """SQL twin of ``queries.q_micro_rdfa`` — B26 RDFa serialization
+    (serialize.rdfa_serialize, reference RDFaSerializer.java:50-159)
+    over the micro fixture: the same spotting/filter/degree-resolver
+    engine as the flagship twin, then per-doc markup assembly. The
+    greedy overlap drop (keep a span iff its begin ≥ the last KEPT
+    span's end, spans sorted like Spark's sort_array struct order)
+    runs as a per-doc recursive scan; segment stitching is one
+    string_agg over lag() windows. html.escape is replayed as the
+    replace chain in :func:`_esc`."""
+    from .fixtures import MICRO_DOCS, MICRO_LITERALS, MICRO_RELATIONS, MICRO_SYMBOLS, MICRO_URIS
+
+    doc_vals = ", ".join(
+        f"('{path}', '{content.replace(chr(39), chr(39) * 2)}')"
+        for _, path, content in MICRO_DOCS
+    )
+    uri_vals = ", ".join(f"({i}, '{u}')" for i, u in enumerate(MICRO_URIS))
+    lit_vals = ", ".join(f"({i}, '{l}')" for i, l in enumerate(MICRO_LITERALS))
+    rel_vals = ", ".join(f"({s}, {p}, {o})" for s, p, o in MICRO_RELATIONS)
+    sym_vals = ", ".join(f"({s}, {p}, {l})" for s, p, l, _ in MICRO_SYMBOLS)
+
+    x1, f1 = xxh64_string_ctes("x1", "corp", "repo", "path, commit_c, content")
+    x2, f2 = xxh64_string_ctes("x2", f1, "path", "commit_c, content", seed="h")
+    x3, f3 = xxh64_string_ctes("x3", f2, "commit_c", "content", seed="h")
+
+    return f"""
+WITH RECURSIVE
+-- ============== micro fixture (fixtures.py MICRO_* constants) ========
+urid(id, uri) AS (VALUES {uri_vals}),
+litid(lit_id, literal) AS (VALUES {lit_vals}),
+rel(s, p, o) AS (VALUES {rel_vals}),
+symtab(subject, prop_id, lit_id) AS (VALUES {sym_vals}),
+tid AS (SELECT id FROM urid WHERE uri = '{RDF_TYPE}'),
+rel_nt AS (SELECT * FROM rel WHERE p <> (SELECT id FROM tid)),
+corp AS MATERIALIZED (
+  SELECT 'repo-micro' AS repo, path,
+         substring(sha256('repo-micro/' || path), 1, 40) AS commit_c,
+         content
+  FROM (VALUES {doc_vals}) t(path, content)
+),
+{x1}, {x2}, {x3},
+docs AS MATERIALIZED (
+  SELECT {_signed64('h')} AS doc_id, content FROM {f3}
+),
+{_engine_ctes('degree')}
+-- ====================== B26: RDFa assembly ==========================
+span_set AS (
+  SELECT r.doc_id, r."begin", r."end", su.uri AS subj_uri, pu.uri AS prop_uri
+  FROM resolved r JOIN urid su ON su.id = r.subject
+                  JOIN urid pu ON pu.id = r.prop_id
+),
+spans_o AS MATERIALIZED (  -- Spark sort_array struct order
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY "begin", "end", subj_uri, prop_uri) AS rn
+  FROM span_set
+),
+greedy AS (  -- sequential left-to-right overlap drop (rdfa_serialize)
+  SELECT doc_id, 0 AS rn, CAST(-1 AS BIGINT) AS last_end, false AS keep
+  FROM (SELECT DISTINCT doc_id FROM spans_o)
+  UNION ALL
+  SELECT s.doc_id, s.rn,
+         CASE WHEN s."begin" >= g.last_end THEN s."end" ELSE g.last_end END,
+         s."begin" >= g.last_end
+  FROM greedy g JOIN spans_o s ON s.doc_id = g.doc_id AND s.rn = g.rn + 1
+),
+kept_spans AS MATERIALIZED (
+  SELECT s.*, d.content,
+         lag(s."end", 1, 0) OVER (PARTITION BY s.doc_id ORDER BY s.rn) AS prev_end
+  FROM spans_o s
+  JOIN greedy g ON g.doc_id = s.doc_id AND g.rn = s.rn AND g.keep
+  JOIN docs d ON d.doc_id = s.doc_id
+),
+assembled AS (
+  SELECT doc_id,
+         string_agg(
+           {_esc('substring(content, prev_end + 1, "begin" - prev_end)')}
+           || '<span about="' || {_esc('subj_uri')}
+           || '" property="' || {_esc('prop_uri')} || '">'
+           || {_esc('substring(content, "begin" + 1, "end" - "begin")')}
+           || '</span>',
+           '' ORDER BY rn) AS mid,
+         max("end") AS tail_from
+  FROM kept_spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN a.mid IS NULL THEN {_esc('d.content')}
+            ELSE a.mid || {_esc('substring(d.content, a.tail_from + 1)')}
+       END AS rdfa
+FROM docs d LEFT JOIN assembled a USING (doc_id)
+"""
+
+
+def _engine_ctes(resolver: str) -> str:
+    """The pipeline-engine CTE chain (B7-B21): spotting, span filters,
+    disambiguation → ``resolved``. Expects upstream CTEs ``docs(doc_id,
+    content)``, ``litid(literal, lit_id)``, ``symtab(subject, prop_id,
+    lit_id)``, ``rel``/``rel_nt``/``tid``/``urid`` — any fixture
+    front-end (synthetic corpus or the micro VALUES fixture) composes
+    with any serializer tail."""
+    score_ctes = _RESOLVER_SCORE_SQL[resolver]()
+    return f"""-- ====================== B7-B9: spotting =============================
 -- mention at 0-based begin iff: token start (prev char not word-class,
 -- SuffixArray token semantics for an alnum head), alnum head, and
 -- ci-equality over the literal's length. ≥4-char literals make the
@@ -437,8 +550,12 @@ resolved AS MATERIALIZED (
   SELECT f.* FROM f12 f
   WHERE NOT EXISTS (SELECT 1 FROM losers l
                     WHERE l.doc_id = f.doc_id AND l.subject = f.subject)
-),
--- ====================== B22-B25: triples ============================
+),"""
+
+
+# B22-B25 triples tail over ``resolved`` (serialize.recognized_triples,
+# known_triples, facts.known_facts — id-space dedup before uri decode)
+_TRIPLES_TAIL = f"""-- ====================== B22-B25: triples ============================
 summary AS MATERIALIZED (
   SELECT DISTINCT doc_id, subject, prop_id, surface FROM resolved
 ),

@@ -1661,6 +1661,12 @@ def _flagship_sql(resolver: str = "degree") -> str:
     return flagship_oracle_sql(resolver=resolver)
 
 
+def _micro_rdfa_sql() -> str:
+    from .flagship_sql import micro_rdfa_oracle_sql
+
+    return micro_rdfa_oracle_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "a6_dict_build": SQL_A6,
@@ -1717,10 +1723,13 @@ def oracle_sql() -> dict[str, str]:
         "resolver_hits": _flagship_sql("hits"),
         "resolver_hits2": _flagship_sql("hits2"),
         "resolver_random": _flagship_sql("random"),
+        # B26 RDFa markup over the micro fixture: same engine SQL +
+        # recursive greedy overlap scan + string_agg stitching
+        "micro_rdfa": _micro_rdfa_sql(),
         # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
         # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
         # carries the value oracle for the IVF machinery),
         # b6_noun_phrases_trained + token_phrase_frequency (trained
         # perceptrons), micro_pipeline_classification (trained maxent),
-        # micro_rdfa (markup serializer), b14/b24_cf_eval (models)
+        # b14_classify + b24_cf_eval (trained/iterative models)
     }

@@ -42,6 +42,21 @@ def test_flagship_sql_twin_matches_pipeline(spark, resolver):
     assert srows == _duck_rows(resolver)
 
 
+def test_micro_rdfa_sql_twin(spark):
+    """The B26 RDFa twin must reproduce the markup byte for byte —
+    span order, greedy overlap drop, html escaping, and the untouched
+    no-mention documents."""
+    import duckdb as _duck
+
+    from scoobie_spark.flagship_sql import micro_rdfa_oracle_sql
+    from scoobie_spark.queries import q_micro_rdfa
+
+    drows = sorted(map(tuple, _duck.sql(micro_rdfa_oracle_sql()).fetchall()))
+    srows = sorted(tuple(r) for r in q_micro_rdfa(spark, SF).collect())
+    assert len(srows) == 6
+    assert srows == drows
+
+
 def test_resolvers_actually_disagree():
     """The synthetic corpus plants ambiguity (~10% shared labels), so
     different resolvers must pick different winners somewhere — the
