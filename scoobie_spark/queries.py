@@ -1544,7 +1544,10 @@ def q_micro_pipeline_classification(spark: SparkSession, sf: str) -> DataFrame:
 def q_b24_cf_eval(spark: SparkSession, sf: str) -> DataFrame:
     """B24 CF comparison recommender eval (leave-one-out item-based CF,
     FactRecommender.compareRecommender:329-480) over synthetic per-doc
-    fact graphs. Rows-only (iterative numpy per doc)."""
+    fact graphs. Fully oracled since round 4 (SQL_B24_CF_EVAL): the
+    output counts depend only on the SIGN pattern of the Pearson
+    similarity matrix, which is exact integer arithmetic — see the SQL
+    header for the proof sketch."""
     from .facts import cf_recommend_eval
     from .fixtures import synth_kb
     from .kb.stats import markov_chain, type_clusters
@@ -1556,6 +1559,191 @@ def q_b24_cf_eval(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("s") % 7).alias("doc_id"), "s", "p", "o"
     )
     return cf_recommend_eval(docs_facts, kb, mc, clusters)
+
+
+# b24_cf_eval replayed as exact integer arithmetic. Why this is a valid
+# value oracle for a float-numpy engine path (facts._cf_eval_one_doc):
+#
+# 1. The per-doc output is (n_eval, correct/n_eval, unknown/n_eval) —
+#    ratios of integer counts; both Python and DuckDB divide the same
+#    int64s under IEEE-754, so the doubles are bit-identical.
+# 2. A cell is counted iff markov_p * pred[i,j] > 0. markov_p >= 1e-6
+#    always (dict .get default), pred = clip(sim,0,∞) @ m is a sum of
+#    non-negative products — so the test reduces to "pred strictly
+#    positive", i.e. ∃ i' with m[i',j]=1 and sim[i,i'] > 0. Magnitudes
+#    (and the markov table itself) cancel out of the counts entirely.
+# 3. sim[i,i'] > 0 after clip/diag/type-mask iff i≠i', both item rows
+#    are non-constant (0 < cnt < n_subs), the typed-evidence support
+#    Σ_j m[i,j]·tvec[j]·m[i',j] > 0 (an integer), and the Pearson
+#    numerator n_subs·Σxy − Σx·Σy > 0 — an INTEGER for 0/1 vectors.
+#    np.corrcoef can only disagree with the integer sign when the exact
+#    numerator is 0 and float rounding lands on +ε; /tmp-probed over the
+#    full fixed eval input: zero such boundary cases (all numerators
+#    |num| ≥ 1), and engine-vs-exact outputs match on every doc
+#    (pinned by tests/test_oracles_sql.py).
+# 4. type_clusters on this KB is provably singleton: instances carry
+#    exactly one rdf:type, so off-diagonal co-occurrence is 0 and every
+#    off-diagonal Pearson correlation is negative (max −0.25 < 0.5
+#    threshold) — the agglomerative loop exits on its first iteration.
+#    The SQL replays that first merge decision from the co-occurrence
+#    counts and emits a poison row (doc_id −1) if any pair would merge,
+#    so the assumption is hash-checked, not trusted.
+# 5. The input is fixture-only (synth_kb(60), facts = relations WHERE
+#    s%10<3, doc_id = s%7) — sf-independent, so the SQL synthesizes the
+#    same KB: uri ids are row_number over binary-sorted uri strings
+#    (ASCII-only → Python and DuckDB orderings agree).
+SQL_B24_CF_EVAL = """
+WITH insts AS (SELECT i::BIGINT AS i FROM range(60) t(i)),
+classes(ci, cname) AS (VALUES (0,'Person'),(1,'Place'),(2,'Org'),(3,'Work'),(4,'Event')),
+preds(pi, pname) AS (VALUES (0,'livesIn'),(1,'knows'),(2,'partOf'),(3,'memberOf'),(4,'locatedIn')),
+uri_strings AS (
+  SELECT 'http://example.org/instance#inst_' || i AS uri FROM insts
+  UNION ALL SELECT 'http://example.org/ontology#' || cname FROM classes
+  UNION ALL SELECT 'http://example.org/ontology#' || pname FROM preds
+  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+  UNION ALL SELECT 'http://www.w3.org/2000/01/rdf-schema#label'
+),
+uid AS (SELECT uri, row_number() OVER (ORDER BY uri) - 1 AS id FROM uri_strings),
+raw_rel AS (
+  SELECT 'http://example.org/instance#inst_' || i AS su,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pu,
+         'http://example.org/ontology#' || c.cname AS ou
+  FROM insts JOIN classes c ON c.ci = i % 5
+  UNION ALL
+  SELECT 'http://example.org/instance#inst_' || i,
+         'http://example.org/ontology#' || p.pname,
+         'http://example.org/instance#inst_' || ((i + 1) % 60)
+  FROM insts JOIN preds p ON p.pi = i % 5
+  UNION ALL
+  SELECT 'http://example.org/instance#inst_' || i,
+         'http://example.org/ontology#knows',
+         'http://example.org/instance#inst_' || ((i + 7) % 60)
+  FROM insts WHERE i % 3 = 0
+),
+rel AS (
+  SELECT DISTINCT us.id AS s, up.id AS p, uo.id AS o
+  FROM raw_rel
+  JOIN uid us ON us.uri = su JOIN uid up ON up.uri = pu JOIN uid uo ON uo.uri = ou
+),
+tid AS (SELECT id FROM uid WHERE uri = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+itypes AS (SELECT s AS instance, o AS typ FROM rel WHERE p = (SELECT id FROM tid)),
+cooc AS (
+  SELECT a.typ AS t1, b.typ AS t2, count(*) AS n
+  FROM itypes a JOIN itypes b ON a.instance = b.instance
+  GROUP BY 1, 2
+),
+tot AS (SELECT greatest(sum(CASE WHEN t1 = t2 THEN n END), 1) * 1.0 AS total FROM cooc),
+merges AS (
+  SELECT c.t1, c.t2
+  FROM cooc c
+  JOIN cooc d1 ON d1.t1 = c.t1 AND d1.t2 = c.t1
+  JOIN cooc d2 ON d2.t1 = c.t2 AND d2.t2 = c.t2
+  CROSS JOIN tot
+  WHERE c.t1 <> c.t2
+    AND sqrt((d1.n/total)*(1-d1.n/total)*(d2.n/total)*(1-d2.n/total)) > 1e-12
+    AND (c.n/total - (d1.n/total)*(d2.n/total))
+        / sqrt((d1.n/total)*(1-d1.n/total)*(d2.n/total)*(1-d2.n/total)) >= 0.5
+),
+clusters AS (SELECT DISTINCT typ AS type, typ AS cluster FROM itypes),
+facts AS (SELECT s % 7 AS doc_id, s, p, o FROM rel WHERE s % 10 < 3),
+subjects AS (SELECT DISTINCT s AS subject FROM facts UNION SELECT DISTINCT o FROM facts),
+votes AS (
+  SELECT subject, c.cluster, count(*) AS v
+  FROM subjects JOIN itypes t ON t.instance = subject JOIN clusters c ON c.type = t.typ
+  GROUP BY 1, 2
+),
+cls AS (
+  SELECT subject, cluster FROM votes
+  QUALIFY row_number() OVER (PARTITION BY subject ORDER BY v DESC, cluster ASC) = 1
+),
+clusterset AS (SELECT type AS t FROM clusters UNION SELECT cluster FROM clusters),
+alldocs AS (SELECT DISTINCT doc_id FROM facts),
+nsub AS (SELECT doc_id, count(DISTINCT s) AS nsub FROM facts GROUP BY 1),
+holdouts AS (
+  SELECT f.doc_id, f.s AS hs, f.p AS hp, f.o AS ho
+  FROM facts f JOIN cls c1 ON c1.subject = f.s JOIN cls c2 ON c2.subject = f.o
+),
+rest AS (
+  SELECT h.doc_id, h.hs, h.hp, h.ho, f.s, f.p, f.o
+  FROM holdouts h JOIN facts f ON f.doc_id = h.doc_id
+  WHERE NOT (f.s = h.hs AND f.p = h.hp AND f.o = h.ho)
+),
+card AS (SELECT doc_id, hs, hp, ho, s, count(*) AS c FROM rest GROUP BY 1, 2, 3, 4, 5),
+ecells AS (
+  SELECT r.* FROM rest r JOIN card cd USING (doc_id, hs, hp, ho, s) WHERE cd.c >= 2
+),
+icnt AS (SELECT doc_id, hs, hp, ho, p, o, count(*) AS cnt FROM ecells GROUP BY 1,2,3,4,5,6),
+tvec AS (
+  SELECT e.doc_id, e.hs, e.hp, e.ho, e.s, count(*) AS tv
+  FROM ecells e JOIN tid ON e.p = tid.id JOIN clusterset cs ON cs.t = e.o
+  GROUP BY 1, 2, 3, 4, 5
+),
+pairraw AS (
+  SELECT a.doc_id, a.hs, a.hp, a.ho, a.p AS xp, a.o AS xo, b.p AS yp, b.o AS yo,
+         count(*) AS inter,
+         sum(coalesce(tv.tv, 0)) AS support
+  FROM ecells a
+  JOIN ecells b ON b.doc_id = a.doc_id AND b.hs = a.hs AND b.hp = a.hp AND b.ho = a.ho
+               AND b.s = a.s AND (b.p <> a.p OR b.o <> a.o)
+  LEFT JOIN tvec tv ON tv.doc_id = a.doc_id AND tv.hs = a.hs AND tv.hp = a.hp
+                   AND tv.ho = a.ho AND tv.s = a.s
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+),
+simpos AS (
+  SELECT pr.*
+  FROM pairraw pr
+  JOIN icnt cx ON cx.doc_id = pr.doc_id AND cx.hs = pr.hs AND cx.hp = pr.hp AND cx.ho = pr.ho
+              AND cx.p = pr.xp AND cx.o = pr.xo
+  JOIN icnt cy ON cy.doc_id = pr.doc_id AND cy.hs = pr.hs AND cy.hp = pr.hp AND cy.ho = pr.ho
+              AND cy.p = pr.yp AND cy.o = pr.yo
+  JOIN nsub ns ON ns.doc_id = pr.doc_id
+  WHERE cx.cnt < ns.nsub AND cy.cnt < ns.nsub
+    AND ns.nsub * pr.inter - cx.cnt * cy.cnt > 0
+    AND pr.support > 0
+),
+predcells AS (
+  SELECT DISTINCT sp.doc_id, sp.hs, sp.hp, sp.ho, sp.xp AS p, sp.xo AS o, e.s
+  FROM simpos sp
+  JOIN ecells e ON e.doc_id = sp.doc_id AND e.hs = sp.hs AND e.hp = sp.hp AND e.ho = sp.ho
+               AND e.p = sp.yp AND e.o = sp.yo
+),
+counted AS (
+  SELECT pc.*
+  FROM predcells pc
+  JOIN cls c1 ON c1.subject = pc.s
+  JOIN cls c2 ON c2.subject = pc.o
+  WHERE pc.s <> pc.o
+    AND NOT EXISTS (
+      SELECT 1 FROM ecells e
+      WHERE e.doc_id = pc.doc_id AND e.hs = pc.hs AND e.hp = pc.hp AND e.ho = pc.ho
+        AND e.s = pc.s AND e.p = pc.p AND e.o = pc.o
+    )
+),
+scored AS (
+  SELECT doc_id,
+         sum(CASE WHEN s = hs AND p = hp AND o = ho THEN 1 ELSE 0 END) AS correct,
+         sum(CASE WHEN s = hs AND p = hp AND o = ho THEN 0 ELSE 1 END) AS unknown
+  FROM counted GROUP BY 1
+),
+nev AS (SELECT doc_id, count(*) AS n_eval FROM holdouts GROUP BY 1),
+perdoc AS (
+  SELECT d.doc_id,
+         coalesce(n.n_eval, 0) AS n_eval,
+         coalesce(s.correct, 0) AS correct,
+         coalesce(s.unknown, 0) AS unknown
+  FROM alldocs d
+  LEFT JOIN nev n ON n.doc_id = d.doc_id
+  LEFT JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT doc_id,
+       n_eval::INTEGER AS n_eval,
+       (CASE WHEN n_eval > 0 THEN correct / n_eval::DOUBLE ELSE 0.0 END)::DOUBLE AS accuracy,
+       (CASE WHEN n_eval > 0 THEN unknown / n_eval::DOUBLE ELSE 0.0 END)::DOUBLE AS fallout
+FROM perdoc
+UNION ALL
+SELECT -1::BIGINT, count(*)::INTEGER, -1.0::DOUBLE, -1.0::DOUBLE
+FROM merges HAVING count(*) > 0
+"""
 
 
 def q_micro_rdfa(spark: SparkSession, sf: str) -> DataFrame:
@@ -1726,10 +1914,14 @@ def oracle_sql() -> dict[str, str]:
         # B26 RDFa markup over the micro fixture: same engine SQL +
         # recursive greedy overlap scan + string_agg stitching
         "micro_rdfa": _micro_rdfa_sql(),
+        # B24 CF eval: exact-integer replay of the Pearson-sign pattern
+        # (see the SQL_B24_CF_EVAL header for why the float numpy path
+        # is integer-decidable on this input)
+        "b24_cf_eval": SQL_B24_CF_EVAL,
         # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
         # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
         # carries the value oracle for the IVF machinery),
         # b6_noun_phrases_trained + token_phrase_frequency (trained
-        # perceptrons), micro_pipeline_classification (trained maxent),
-        # b14_classify + b24_cf_eval (trained/iterative models)
+        # perceptrons), micro_pipeline_classification + b14_classify
+        # (trained maxent models)
     }

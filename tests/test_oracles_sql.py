@@ -54,6 +54,7 @@ def _rows(df_rows, cols):
         "multimodal_features",
         "dedup_embedding_lsh",
         "ann_ivf_flat",
+        "b24_cf_eval",
     ],
 )
 def test_derived_oracle_matches(spark, name):
