@@ -650,6 +650,21 @@ def pos_tag_trained(docs: DataFrame, lang: str = "en") -> DataFrame:
 
     pos_path, _ = _lang_models(lang)
     cols = docs.select("doc_id", "content")
+    # the decode is the expensive Arrow pass (~170k tok/s/core), so an
+    # under-parallel source (one small parquet split, a hand-built
+    # DataFrame) would serialize it on one task — spread it first, with
+    # the same adaptive gate as pipeline.spread_input: at scale the
+    # parquet reader's byte-bounded splits already balance the scan and
+    # the repartition is skipped (measured: sf0.1 documents is ONE
+    # split, so the tagger leg otherwise runs 1-way while the chunker
+    # behind its doc_id shuffle runs 32-way)
+    from pyspark.sql import functions as F
+
+    from .pipeline import _source_parallelism
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    if _source_parallelism(cols) < n_parts:
+        cols = cols.repartition(n_parts, F.xxhash64("doc_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vm = _vectorize(_load(pos_path))
@@ -786,21 +801,32 @@ def np_chunks_trained(
 
     def run(batch: pd.DataFrame) -> pd.DataFrame:
         vm = _vectorize(_load(chunk_path))
-        groups = []
-        sents: list[tuple[list[str], list[str]]] = []
-        for (_, _), g in batch.groupby(["doc_id", "sent_id"], sort=True):
-            g = g.sort_values("start")
-            groups.append(g)
-            sents.append((g["word"].tolist(), g["pos"].tolist()))
-        if not groups:
+        if batch.empty:
             return batch.iloc[:0].assign(np="")
+        # one whole-batch sort + numpy boundary split instead of a
+        # pandas groupby over thousands of tiny sentence groups (the
+        # groupby/copy/concat form measured ~2.1s of the 6.1s
+        # single-thread cost at sf0.1); (doc_id, sent_id, start) keys
+        # are unique, so the row order is identical to the old
+        # group-sorted output
+        b = batch.sort_values(
+            ["doc_id", "sent_id", "start"], kind="mergesort", ignore_index=True
+        )
+        words = b["word"].tolist()
+        poss = b["pos"].tolist()
+        d = b["doc_id"].to_numpy()
+        s = b["sent_id"].to_numpy()
+        change = np.flatnonzero((d[1:] != d[:-1]) | (s[1:] != s[:-1])) + 1
+        bounds = np.concatenate(([0], change, [len(b)]))
+        sents = [
+            (words[a:z], poss[a:z]) for a, z in zip(bounds[:-1], bounds[1:])
+        ]
         preds = chunk_sentences_vec(vm, sents, window)
-        outs = []
-        for g, pred in zip(groups, preds):
-            g = g.copy()
-            g["np"] = [p if p in ("B-NP", "I-NP") else "O" for p in pred]
-            outs.append(g)
-        return pd.concat(outs, ignore_index=True)
+        b["np"] = pd.Series(
+            [p if p in ("B-NP", "I-NP") else "O" for sent in preds for p in sent],
+            dtype="object",
+        )
+        return b
 
     cols = ["doc_id", "start", "end", "sent_id", "word", "pos"]
     return grouped_apply(
