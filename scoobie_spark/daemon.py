@@ -24,6 +24,22 @@ try:  # Arrow is always present in this image, but stay import-safe
 except ImportError:  # pragma: no cover
     pass
 
+try:
+    # Parse + vectorize the EN perceptron artifacts once here: the
+    # trained B5/B6 decode otherwise pays ~0.6s of gunzip/JSON/matrix
+    # build per worker PROCESS on its first task (≈20s of CPU across 32
+    # forks, all contending at once now that the tagger input is
+    # spread). The module-level _load/_vectorize caches are inherited
+    # through copy-on-write like the imports above. DE (TIGER) is ~2.6s
+    # and only touched by explicitly German routes, so it stays lazy.
+    from scoobie_spark import perceptron as _perceptron
+
+    if _perceptron.models_available("en"):
+        for _p in (_perceptron.POS_MODEL, _perceptron.CHUNK_MODEL):
+            _perceptron._vectorize(_perceptron._load(_p))
+except Exception:  # pragma: no cover — never block the daemon on this
+    pass
+
 from pyspark.daemon import manager
 
 if __name__ == "__main__":
