@@ -110,6 +110,91 @@ def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
     return cols.mapInPandas(gen, "doc_id long, lang_guess string")
 
 
+def repetition_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ...", appendix A1.1 — the public
+    training-data filter spec), defined over word n-grams since the
+    corpus shape is line-free text:
+
+    * ``dup_word_frac`` — fraction of word occurrences beyond the first
+      of each distinct word: ``1 - distinct/total``.
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      2-gram over all 2-gram occurrences.
+    * ``dup_trigram_char_frac`` — fraction of 3-gram characters inside
+      3-grams that occur more than once.
+
+    Tokenization = lower + whitespace split, the same convention as
+    :func:`language_id` and the n-gram dedup family. Everything is
+    Column expressions + partial-aggregable groupBys (JVM-side,
+    whole-stage codegen): per-doc n-gram counts are bounded by doc
+    length, so no hot keys — the 100 TB shape is three map-side-combined
+    aggregations joined on doc_id."""
+    toks = docs.select(
+        F.col(key).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    words = toks.select("doc_id", F.explode("t").alias("w"))
+    wstats = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_w"), F.countDistinct("w").alias("d_w")
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t)-1, 0)),"
+                " (x, i) -> concat(x, ' ', t[i+1]))"
+            )
+        ).alias("g"),
+    )
+    bstats = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_b"), F.max("c").alias("mx_b"))
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t)-2, 0)),"
+                " (x, i) -> concat(x, ' ', t[i+1], ' ', t[i+2]))"
+            )
+        ).alias("g"),
+    )
+    tstats = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+            ).alias("dup_ch"),
+            F.sum(F.col("c") * F.length("g")).alias("tot_ch"),
+        )
+    )
+    return (
+        docs.select(F.col(key).alias("doc_id"))
+        .join(wstats, "doc_id", "left")
+        .join(bstats, "doc_id", "left")
+        .join(tstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce((F.col("n_w") - F.col("d_w")) / F.col("n_w"), F.lit(0.0)), 6
+            ).alias("dup_word_frac"),
+            F.round(F.coalesce(F.col("mx_b") / F.col("n_b"), F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.coalesce(F.col("dup_ch") / F.col("tot_ch"), F.lit(0.0)), 6).alias(
+                "dup_trigram_char_frac"
+            ),
+        )
+    )
+
+
 def fingerprints(
     docs: DataFrame, window: int = 8, key: str = "doc_id", text: str = "text"
 ) -> DataFrame:

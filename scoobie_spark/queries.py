@@ -429,6 +429,51 @@ FROM t
 """
 
 
+def q_quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals over word n-grams
+    (textstats.repetition_scores — public filter spec, Rae et al. 2021
+    A1.1): per-doc duplicate-word, top-bigram and duplicate-trigram-char
+    fractions."""
+    d = _T(spark, sf, "documents")
+    return textstats.repetition_scores(d)
+
+
+SQL_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\v]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), wstats AS (
+  SELECT doc_id, count(*) AS n_w, count(DISTINCT w) AS d_w FROM words GROUP BY 1
+), bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, unnest(range(1, len(t))) u(i)
+), bstats AS (
+  SELECT doc_id, sum(c) AS n_b, max(c) AS mx_b
+  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1
+), tri AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, unnest(range(1, len(t) - 1)) u(i)
+), tstats AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_ch,
+         sum(c * length(g)) AS tot_ch
+  FROM (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2) GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce((n_w - d_w) * 1.0 / n_w, 0.0), 6) AS dup_word_frac,
+       round(coalesce(mx_b * 1.0 / n_b, 0.0), 6) AS top_bigram_frac,
+       round(coalesce(dup_ch * 1.0 / tot_ch, 0.0), 6) AS dup_trigram_char_frac
+FROM documents d
+LEFT JOIN wstats USING (doc_id)
+LEFT JOIN bstats USING (doc_id)
+LEFT JOIN tstats USING (doc_id)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap cumsum sessions per user."""
     e = _T(spark, sf, "events")
@@ -1817,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "quality_scores": q_quality_scores,
+        "quality_repetition": q_quality_repetition,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
@@ -1887,6 +1933,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_embedding_exact": SQL_EMB_EXACT,
         "quality_scores": SQL_QUALITY,
+        "quality_repetition": SQL_REPETITION,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,

@@ -147,6 +147,29 @@ def test_quality_scores(spark, docs):
     assert q[5]["n_tokens"] == 0
 
 
+def test_repetition_scores(spark):
+    rows = [
+        (0, "a a a a"),                     # one word repeated
+        (1, "w x y z"),                     # no repetition at all
+        (2, "go stop go stop go stop"),     # period-2 loop
+        (3, ""),                            # empty doc
+        (4, "solo"),                        # too short for any n-gram
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in textstats.repetition_scores(d).collect()}
+    assert r[0]["dup_word_frac"] == 0.75            # 4 words, 1 distinct
+    assert r[0]["top_bigram_frac"] == 1.0           # 'a a' is every bigram
+    assert r[0]["dup_trigram_char_frac"] == 1.0     # 'a a a' twice
+    assert r[1]["dup_word_frac"] == 0.0
+    assert r[1]["top_bigram_frac"] == 0.333333      # all unique, max=1 of 3
+    assert r[1]["dup_trigram_char_frac"] == 0.0
+    assert r[2]["dup_word_frac"] == round(4 / 6, 6)
+    assert r[2]["top_bigram_frac"] == 0.6           # 'go stop' 3 of 5
+    assert r[2]["dup_trigram_char_frac"] == 1.0     # both trigrams repeat
+    assert r[3]["dup_word_frac"] == 0.0 and r[3]["top_bigram_frac"] == 0.0
+    assert r[4]["top_bigram_frac"] == 0.0 and r[4]["dup_trigram_char_frac"] == 0.0
+
+
 def test_token_counts(spark, docs):
     t = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
     assert t[0]["ws_tokens"] == 14

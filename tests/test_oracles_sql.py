@@ -55,6 +55,7 @@ def _rows(df_rows, cols):
         "dedup_embedding_lsh",
         "ann_ivf_flat",
         "b24_cf_eval",
+        "quality_repetition",
     ],
 )
 def test_derived_oracle_matches(spark, name):
