@@ -474,6 +474,48 @@ LEFT JOIN tstats USING (doc_id)
 """
 
 
+def q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash train/val/test split over the documents table
+    (extras.sampling.hash_split): split = cumulative-fraction bucket of
+    pmod(xxhash64(doc_id), 10^6) — stable across runs, cluster sizes and
+    partitionings. Oracled via the bit-exact hashLong replay
+    (xxh64_sql.hashlong_sql)."""
+    from .extras.sampling import hash_split
+
+    d = _T(spark, sf, "documents").select("doc_id")
+    return hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+def _sql_sample_split() -> str:
+    from .xxh64_sql import hashlong_sql
+
+    g0, g1, g2, g3, g4, g5, gf = hashlong_sql("ux", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT)"
+        f" - 18446744073709551616 ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(doc_id AS HUGEINT) END AS UBIGINT) AS ux
+  FROM documents
+),
+h0 AS (SELECT doc_id, {g0} AS g0 FROM u),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+h4 AS (SELECT *, {g4} AS g4 FROM h3),
+h5 AS (SELECT *, {g5} AS g5 FROM h4),
+b AS (SELECT doc_id, (({signed} % 1000000) + 1000000) % 1000000 AS bkt FROM h5)
+SELECT doc_id,
+       CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap cumsum sessions per user."""
     e = _T(spark, sf, "events")
@@ -1863,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "quality_scores": q_quality_scores,
         "quality_repetition": q_quality_repetition,
+        "sample_split": q_sample_split,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
@@ -1934,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_exact": SQL_EMB_EXACT,
         "quality_scores": SQL_QUALITY,
         "quality_repetition": SQL_REPETITION,
+        "sample_split": _sql_sample_split(),
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,

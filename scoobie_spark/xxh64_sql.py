@@ -177,6 +177,23 @@ def xxh64_string_ctes(
     return ctes, f"{prefix}_h"
 
 
+def hashlong_sql(
+    l: str, seed: str
+) -> tuple[str, str, str, str, str, str, str]:
+    """Spark ``XXH64.hashLong(l, seed)`` (the LongType leg of
+    ``F.xxhash64``) as chained column expressions g0..g5 then the final;
+    the caller lays them into successive CTEs with those exact column
+    names. ``l`` must already be a UBIGINT expression (two's-complement
+    cast for negative longs)."""
+    g0 = mul64(l, P2)
+    g1 = mul64(rotl("g0", 31), P1)
+    g2 = f"xor({add64(seed, str((P5 + 8) & MASK))}, g1)"
+    g3 = add64(mul64(rotl("g2", 27), P1), str(P4))
+    g4 = mul64("xor(g3, g3 >> 33)", P2)
+    g5 = mul64("xor(g4, g4 >> 29)", P3)
+    return g0, g1, g2, g3, g4, g5, "xor(g5, g5 >> 32)"
+
+
 def hashint_sql(i: str, seed: str) -> tuple[str, str, str, str, str]:
     """hashInt(i, seed) as chained column expressions (g0..g3 then the
     final); the caller lays them into successive CTEs with those exact

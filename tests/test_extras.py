@@ -170,6 +170,30 @@ def test_repetition_scores(spark):
     assert r[4]["top_bigram_frac"] == 0.0 and r[4]["dup_trigram_char_frac"] == 0.0
 
 
+def test_hash_split(spark):
+    from scoobie_spark.extras.sampling import hash_sample, hash_split
+
+    d = spark.range(2000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["k"]: r["split"] for r in hash_split(d, "k", fr).collect()}
+    # deterministic: a re-run over a different partitioning agrees per key
+    s2 = {
+        r["k"]: r["split"]
+        for r in hash_split(d.repartition(7), "k", fr).collect()
+    }
+    assert s1 == s2
+    counts = {}
+    for v in s1.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # hash_sample(rate) keeps exactly the bucket-prefix subset
+    kept = {r["k"] for r in hash_sample(d, "k", 0.8).collect()}
+    assert kept == {k for k, v in s1.items() if v == "train"}
+    with pytest.raises(ValueError):
+        hash_split(d, "k", {"a": 0.5, "b": 0.4})
+
+
 def test_token_counts(spark, docs):
     t = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
     assert t[0]["ws_tokens"] == 14

@@ -56,6 +56,7 @@ def _rows(df_rows, cols):
         "ann_ivf_flat",
         "b24_cf_eval",
         "quality_repetition",
+        "sample_split",
     ],
 )
 def test_derived_oracle_matches(spark, name):
