@@ -1945,7 +1945,7 @@ def _micro_rdfa_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "a6_dict_build": SQL_A6,
         "a8_dict_encode": SQL_A8,
         "a11_histogram": SQL_A11,
@@ -2012,7 +2012,25 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
         # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
         # carries the value oracle for the IVF machinery),
-        # b6_noun_phrases_trained + token_phrase_frequency (trained
-        # perceptrons), micro_pipeline_classification + b14_classify
-        # (trained maxent models)
+        # micro_pipeline_classification + b14_classify (trained maxent:
+        # float-iterative training, unlike the integer perceptrons)
     }
+    # The TRAINED B5/B6 perceptron decode replays exactly in SQL
+    # (integer weights → exact greedy argmax chain; perceptron_sql.py
+    # has the proof sketch and the per-token parity evidence). Offered
+    # only when the exported weight parquets exist, so a checkout
+    # without the artifacts degrades to rows-only instead of erroring —
+    # mirroring the queries' own rule-path fallback.
+    try:
+        from .perceptron_sql import (
+            trained_np_counts_sql,
+            trained_phrase_frequency_sql,
+            trained_sql_available,
+        )
+
+        if trained_sql_available():
+            d["b6_noun_phrases_trained"] = trained_np_counts_sql()
+            d["token_phrase_frequency"] = trained_phrase_frequency_sql()
+    except Exception:
+        pass
+    return d

@@ -57,9 +57,13 @@ def _rows(df_rows, cols):
         "b24_cf_eval",
         "quality_repetition",
         "sample_split",
+        "b6_noun_phrases_trained",
+        "token_phrase_frequency",
     ],
 )
 def test_derived_oracle_matches(spark, name):
+    if name not in q.oracle_sql():
+        pytest.skip(f"{name} oracle unavailable (model artifacts absent)")
     sdf = q.queries()[name](spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
