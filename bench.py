@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "quality_scores",
+    "quality_repetition",
+    "sample_split",
     "events_sessionize",
     "ann_topk",
     "ann_ivf_topk",

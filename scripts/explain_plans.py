@@ -29,6 +29,8 @@ DEFAULT = [
     "b9_phrase_spotting",
     "dedup_exact",
     "ann_topk",
+    "quality_repetition",
+    "sample_split",
 ]
 
 # queries whose semantics genuinely require one global exchange
