@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "quality_scores",
     "quality_repetition",
     "sample_split",
+    "pii_redact",
+    "decontaminate",
     "events_sessionize",
     "ann_topk",
     "ann_ivf_topk",

@@ -516,6 +516,125 @@ FROM b
 """
 
 
+# deterministic PII planted per doc_id residue so the redaction query
+# has nonzero signal over the PII-free synthetic corpus; both legs
+# (Column exprs here, SQL below) build the identical string
+def _plant_pii(doc_id, text):
+    r = F.pmod(doc_id, F.lit(3))
+    suffix = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit(" server 10."),
+                F.pmod(doc_id, F.lit(256)).cast("string"),
+                F.lit(".0.1 up"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad(F.pmod(doc_id, F.lit(100)).cast("string"), 2, "0"),
+                F.lit(" today"),
+            )
+        )
+    )
+    return F.concat(text, suffix)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (extras.pii.redact_pii — C4/Dolma-style cleanup
+    pass): emails, IPv4, phone shapes → typed placeholders + per-doc
+    counts. The synthetic corpus is PII-free, so each doc gets one
+    deterministic planted PII string keyed on doc_id (same expression
+    in the SQL oracle); the redacted text itself is a compared column,
+    so the oracle checks replacement byte-for-byte, not just counts."""
+    from .extras.pii import redact_pii
+
+    d = _T(spark, sf, "documents")
+    planted = d.select(
+        "doc_id", _plant_pii(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return redact_pii(planted)
+
+
+def _sql_pii_redact() -> str:
+    from .extras.pii import PII_PATTERNS
+
+    planted = """
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           WHEN doc_id % 3 = 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+           ELSE ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+         END AS t0
+  FROM documents
+"""
+    counts, cur = [], "t0"
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        nxt = f"regexp_replace({cur}, '{pat}', '{rep}', 'g')"
+        cur = f"t{i + 1}"
+        counts.append(f"{nxt} AS {cur}")
+    inner = ",\n       ".join(counts)
+    return f"""
+WITH planted AS ({planted}),
+red AS (SELECT doc_id, {inner} FROM planted)
+SELECT doc_id, n_emails, n_ipv4, n_phones, t3 AS redacted FROM red
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (extras.decontam.contamination —
+    GPT-3 appendix-C style word-8-gram overlap): the "benchmark" is the
+    deterministic doc_id % 37 == 0 slice of the corpus itself, so the
+    planted contaminated set is exactly that slice (plus any organic
+    8-gram collisions). Engine joins on xxhash64(gram); the oracle
+    joins on the gram strings, guarding the hash shortcut."""
+    from .extras.decontam import contamination
+
+    d = _T(spark, sf, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(37)) == 0).select("text")
+    return contamination(d, bench, n=8)
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\v]+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 6)) u(i)
+), bench AS (
+  SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 6)) u(i)
+  WHERE doc_id % 37 = 0
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1
+), hits AS (
+  SELECT grams.doc_id, count(*) AS n_hits
+  FROM grams JOIN bench USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(tot.n_grams, 0) AS n_grams,
+       COALESCE(hits.n_hits, 0) AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) > 0 AS INT) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: 30-min-gap cumsum sessions per user."""
     e = _T(spark, sf, "events")
@@ -1906,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "quality_repetition": q_quality_repetition,
         "sample_split": q_sample_split,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
@@ -1978,6 +2099,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY,
         "quality_repetition": SQL_REPETITION,
         "sample_split": _sql_sample_split(),
+        "pii_redact": _sql_pii_redact(),
+        "decontaminate": SQL_DECONTAMINATE,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,

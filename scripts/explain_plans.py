@@ -31,6 +31,8 @@ DEFAULT = [
     "ann_topk",
     "quality_repetition",
     "sample_split",
+    "pii_redact",
+    "decontaminate",
 ]
 
 # queries whose semantics genuinely require one global exchange

@@ -345,3 +345,61 @@ def test_resize_empty_payload(spark):
            for r in multimodal.resize_media(media, width=4, height=2).collect()}
     assert out[0] == b"\x00" * 8
     assert len(out[1]) == 8 and out[1] != b"\x00" * 8
+
+
+def test_redact_pii_planted(spark):
+    """Category order, placeholder text and counts on hand-built PII;
+    the email host wins over the phone shape (no double count), an
+    all-digit host is left for the IPv4 stage, short digit runs are
+    not phones."""
+    from scoobie_spark.extras import pii
+
+    rows = [
+        (0, "mail a.b-c%d+e@sub.Example.ORG or x@y.io now"),
+        (1, "host 10.20.30.40 and 1.2.3.4, but 1.2.3 is not an ip"),
+        (2, "call +1 (555) 010-1234 or 555 0100 999 but not 12345"),
+        (3, "mixed u5@h0.net on 192.168.0.1 dial +49 30 123456"),
+        (4, "clean text with no personal data at all"),
+        (5, "addr user@192.168.1.1 keeps digits for the ip stage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii.redact_pii(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_ipv4"] == 0 and out[0]["n_phones"] == 0
+    assert out[0]["redacted"] == "mail [EMAIL] or [EMAIL] now"
+    assert out[1]["n_ipv4"] == 2 and out[1]["n_phones"] == 0
+    assert "1.2.3 is not an ip" in out[1]["redacted"]
+    assert out[2]["n_phones"] == 2 and out[2]["n_emails"] == 0
+    assert "not 12345" in out[2]["redacted"]
+    assert (out[3]["n_emails"], out[3]["n_ipv4"], out[3]["n_phones"]) == (1, 1, 1)
+    assert out[3]["redacted"] == "mixed [EMAIL] on [IP] dial [PHONE]"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[4]["redacted"] == rows[4][1]
+    # all-digit host is not an email (alpha TLD required) -> IP stage takes it
+    assert out[5]["n_emails"] == 0 and out[5]["n_ipv4"] == 1
+
+
+def test_contamination_planted(spark):
+    """8-gram overlap flags exactly the docs sharing a benchmark
+    8-gram; short docs have zero grams and stay clean; counts are
+    distinct-gram counts."""
+    from scoobie_spark.extras import decontam
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (0, bench_text + " extra tail words here"),          # contains bench grams
+        (1, "alpha beta gamma delta epsilon zeta eta THETA iota"),  # case-folded hit
+        (2, "one two three four five six seven eight nine ten"),    # clean
+        (3, "too short"),                                           # < 8 words
+        (4, "alpha beta gamma delta epsilon zeta eta x " * 2),      # 7-prefix only, no full 8-gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {r["doc_id"]: r for r in decontam.contamination(docs, bench, n=8).collect()}
+    assert out[0]["contaminated"] == 1 and out[0]["n_hits"] == 2
+    assert out[1]["contaminated"] == 1  # lowercasing folds THETA
+    assert out[2]["contaminated"] == 0 and out[2]["n_grams"] == 3
+    assert out[3]["contaminated"] == 0 and out[3]["n_grams"] == 0
+    assert out[4]["contaminated"] == 0
+    # n_grams counts distinct grams: doc 4 repeats its text, 16 words -> 9
+    # positions but the repeated block collapses
+    assert out[4]["n_grams"] < 9

@@ -57,6 +57,8 @@ def _rows(df_rows, cols):
         "b24_cf_eval",
         "quality_repetition",
         "sample_split",
+        "pii_redact",
+        "decontaminate",
         "b6_noun_phrases_trained",
         "token_phrase_frequency",
     ],
