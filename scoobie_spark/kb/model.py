@@ -39,10 +39,24 @@ class KB:
         Cached driver-side — these are O(1)-per-pipeline lookups of
         well-known URIs (rdf:type), not per-row calls.
         """
-        if uri not in self._uri_ids:
-            row = self.resources.filter(F.col("uri") == uri).select("id").first()
-            self._uri_ids[uri] = row[0] if row else None
-        return self._uri_ids[uri]
+        return self.uri_ids([uri])[uri]
+
+    def uri_ids(self, uris: list[str]) -> dict[str, "int | None"]:
+        """Batched :meth:`uri_id`: resolve every uncached URI in ONE
+        job (the pipeline used to pay one serial ~0.15 s ``first()``
+        job per well-known URI per KB instance — profiled as the
+        longest serial driver chain in the ×1 flagship)."""
+        missing = [u for u in uris if u not in self._uri_ids]
+        if missing:
+            found = {
+                r["uri"]: r["id"]
+                for r in self.resources.filter(F.col("uri").isin(missing))
+                .select("uri", "id")
+                .collect()
+            }
+            for u in missing:
+                self._uri_ids[u] = found.get(u)
+        return {u: self._uri_ids[u] for u in uris}
 
     @property
     def rdf_type_id(self) -> int | None:
@@ -91,6 +105,9 @@ class KB:
             literals=self.literals.localCheckpoint(),
             relations=self.relations.localCheckpoint(),
             symbols=self.symbols.localCheckpoint(),
+            # ids are stable across the lineage cut — keep the resolved
+            # well-known-URI cache instead of re-running the lookups
+            _uri_ids=dict(self._uri_ids),
         )
 
     def write(self, base: str, fmt: str = "parquet") -> None:

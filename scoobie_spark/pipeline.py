@@ -228,6 +228,12 @@ def extract_triples(
     cfg = cfg or PipelineConfig()
     if cfg.materialize_kb:
         kb = kb.materialize()
+    # batch-resolve the well-known URIs the stages below will ask for —
+    # one job instead of a serial first() chain (kb.model.uri_ids)
+    from .kb.model import RDF_TYPE
+    from .linking import RDFS_LABEL_URI
+
+    kb.uri_ids([RDF_TYPE, RDFS_LABEL_URI])
 
     # --- ingest + skew spreading ---------------------------------------
     # sha256 invariant is enforced INSIDE the candidates Arrow pass
