@@ -228,12 +228,33 @@ def extract_triples(
     cfg = cfg or PipelineConfig()
     if cfg.materialize_kb:
         kb = kb.materialize()
-    # batch-resolve the well-known URIs the stages below will ask for —
-    # one job instead of a serial first() chain (kb.model.uri_ids)
+
+    # --- driver-side prep, overlapped ----------------------------------
+    # Three eager dictionary-scale jobs gate the corpus stages: the
+    # well-known-URI lookups (rdf:type / rdfs:label — kb.model.uri_ids,
+    # one batched collect), the prefix-set + suffix-cap aggregation, and
+    # (fused path) the adjacency broadcast build. They read disjoint,
+    # already-checkpointed KB tables, so they run on worker threads
+    # while the driver keeps going — the adjacency future is only
+    # joined right before spot_resolve needs it, which lets it overlap
+    # the candidates checkpoint job too. Profiled at sf0.1 ×1: the same
+    # work serial was the longest driver chain (~1 s of the 7 s wall).
+    from concurrent.futures import ThreadPoolExecutor
+
     from .kb.model import RDF_TYPE
     from .linking import RDFS_LABEL_URI
 
-    kb.uri_ids([RDF_TYPE, RDFS_LABEL_URI])
+    prep = ThreadPoolExecutor(max_workers=2)
+    f_uri = prep.submit(kb.uri_ids, [RDF_TYPE, RDFS_LABEL_URI])
+    f_pref = (
+        None
+        if _stage_done(cfg, "candidates")
+        else prep.submit(
+            kb.literals.groupBy("prefix")
+            .agg(F.max(F.length("literal")).alias("ml"))
+            .collect
+        )
+    )
 
     # --- ingest + skew spreading ---------------------------------------
     # sha256 invariant is enforced INSIDE the candidates Arrow pass
@@ -247,17 +268,23 @@ def extract_triples(
     # max_lit + 1 (the +1 feeds the B12 tiling probe) — shrinking every
     # candidate row shipped through the spot join. Skipped entirely when
     # the candidates checkpoint will be reused (resume path).
-    if _stage_done(cfg, "candidates"):
+    if f_pref is None:
         kb_prefixes, suffix_cap = [], textproc.MAX_SUFFIX_LEN
     else:
-        pref_rows = (
-            kb.literals.groupBy("prefix")
-            .agg(F.max(F.length("literal")).alias("ml"))
-            .collect()
-        )
+        pref_rows = f_pref.result()
         kb_prefixes = [r["prefix"] for r in pref_rows]
         max_lit = max((r["ml"] for r in pref_rows), default=0)
         suffix_cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
+    f_uri.result()  # cache filled before any stage asks for rdf_type_id
+    # fused-path adjacency build (eager toPandas + sc.broadcast) starts
+    # now so it overlaps the candidates checkpoint job below; memoized
+    # on the KB, so streaming micro-batches resolve instantly
+    f_adj = (
+        prep.submit(linking.kb_adjacency_broadcast, kb, cfg.adjacency_max_rows)
+        if cfg.fused and cfg.adjacency_max_rows and not _stage_done(cfg, "resolved")
+        else None
+    )
+    prep.shutdown(wait=False)
     np_mode = cfg.np_candidate_filter
     cand_df = textproc.suffix_candidates(
         docs,
@@ -303,15 +330,9 @@ def extract_triples(
     if cfg.fused:
         # ONE doc_id shuffle + ONE Arrow pass for span filters +
         # disambiguation (gazetteer/symbols joins stay narrow upstream).
-        # The adjacency build is eager driver work — skip it when the
-        # resolved checkpoint already exists and will be reused. The
-        # broadcast handle is memoized on the KB so repeated calls over
-        # the same KB (streaming micro-batches) ship the blob once.
-        adjacency = (
-            linking.kb_adjacency_broadcast(kb, cfg.adjacency_max_rows)
-            if cfg.adjacency_max_rows and not _stage_done(cfg, "resolved")
-            else None
-        )
+        # The adjacency broadcast was built on a prep thread above,
+        # overlapping the candidates checkpoint; join it here.
+        adjacency = f_adj.result() if f_adj is not None else None
         resolved = _stage(
             cfg,
             "resolved",
