@@ -359,6 +359,12 @@ def training_pairs(
         kb.literals.withColumnRenamed("id", "lit"), "lit"
     ).select("s", "literal")
     pairs = lits.join(types, "s").select("literal", "cls").distinct()
+    # the class-count aggregation below and the main thin+window scan
+    # are two consumers of this join+distinct subtree — the expensive
+    # part of the whole function at dictionary scale. A lazy local
+    # checkpoint materializes it once on first use (executor-local
+    # MEMORY_AND_DISK blocks) instead of recomputing the joins twice.
+    pairs = pairs.localCheckpoint(eager=False)
     # skew guard: the row_number window sorts each class inside ONE
     # task, so a hot class (10^7 Person literals at DBpedia scale) must
     # be thinned BEFORE the window. A deterministic hash filter keeps

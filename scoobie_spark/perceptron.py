@@ -38,6 +38,7 @@ import gzip
 import json
 import os
 import re
+import weakref
 from collections.abc import Iterator
 
 import numpy as np
@@ -246,7 +247,7 @@ class VectorizedPerceptron:
     contribute nothing, exactly like ``scores.get(c, 0.0)``.
     """
 
-    __slots__ = ("classes", "feat_index", "W", "nc")
+    __slots__ = ("classes", "feat_index", "W", "nc", "wmax")
 
     #: upper bound on features summed per token across both layers
     #: (chunker window=3: 15 static + 3 history; headroom to 32)
@@ -269,8 +270,19 @@ class VectorizedPerceptron:
             rows.append(row)
         # int32 halves gather memory traffic; sums of _MAX_FEATS rows
         # must stay exact, so fall back to int64 for huge weights
+        self.wmax = wmax
         dtype = np.int32 if wmax * self._MAX_FEATS < 2**31 else np.int64
         self.W = np.vstack(rows).astype(dtype, copy=False)
+
+    def ensure_exact(self, n_rows_per_token: int) -> None:
+        """Guarantee integer score sums of ``n_rows_per_token`` weight
+        rows cannot wrap. The constructor sizes the dtype for
+        ``_MAX_FEATS`` rows (chunker window=3 needs 18, POS 15); a wider
+        chunker window can exceed that, so decoders call this with their
+        actual per-token row count and the matrix upcasts to int64 when
+        the int32 bound no longer holds."""
+        if self.W.dtype == np.int32 and self.wmax * n_rows_per_token >= 2**31:
+            self.W = self.W.astype(np.int64)
 
     def argmax(self, scores: np.ndarray) -> int:
         """Last max index == max(classes, key=(score, name)) for sorted
@@ -290,14 +302,19 @@ class VectorizedPerceptron:
         return out
 
 
-_vec_cached: dict[int, VectorizedPerceptron] = {}
+# keyed on the live model object (not id(): a GC'd model's reused id
+# would alias another model's matrix); entries drop with their model
+_vec_cached: "weakref.WeakKeyDictionary[AveragedPerceptron, VectorizedPerceptron]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _vectorize(ap: AveragedPerceptron) -> VectorizedPerceptron:
-    key = id(ap)
-    if key not in _vec_cached:
-        _vec_cached[key] = VectorizedPerceptron(ap)
-    return _vec_cached[key]
+    vm = _vec_cached.get(ap)
+    if vm is None:
+        vm = VectorizedPerceptron(ap)
+        _vec_cached[ap] = vm
+    return vm
 
 
 #: cap on tokens scored per numpy pass — bounds the static-score
@@ -348,6 +365,7 @@ def tag_sentences_vec(
         for sl in _budget_slices(sentences):
             out.extend(tag_sentences_vec(vm, sl))
         return out
+    vm.ensure_exact(15)  # 11 static + p1/p2/p1p2 + p1w rows per token
     fi = vm.feat_index
     W = vm.W
     contexts = []
@@ -421,6 +439,9 @@ def chunk_sentences_vec(
         for sl in _budget_slices(sentences, key=lambda s: len(s[0])):
             out.extend(chunk_sentences_vec(vm, sl, window))
         return out
+    # (3 + 4*window) static + c1/c2 + c1T rows per token — window > 6
+    # exceeds the constructor's _MAX_FEATS sizing, so re-check here
+    vm.ensure_exact(4 * window + 6)
     fi = vm.feat_index
     W = vm.W
     static_idx: list[list[int]] = []

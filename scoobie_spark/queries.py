@@ -2144,16 +2144,16 @@ def oracle_sql() -> dict[str, str]:
     # only when the exported weight parquets exist, so a checkout
     # without the artifacts degrades to rows-only instead of erroring —
     # mirroring the queries' own rule-path fallback.
-    try:
-        from .perceptron_sql import (
-            trained_np_counts_sql,
-            trained_phrase_frequency_sql,
-            trained_sql_available,
-        )
+    from .perceptron_sql import (
+        trained_np_counts_sql,
+        trained_phrase_frequency_sql,
+        trained_sql_available,
+    )
 
-        if trained_sql_available():
-            d["b6_noun_phrases_trained"] = trained_np_counts_sql()
-            d["token_phrase_frequency"] = trained_phrase_frequency_sql()
-    except Exception:
-        pass
+    # artifacts-absent is the ONLY legitimate degrade-to-rows-only case
+    # (trained_sql_available gates it); anything else raising here is a
+    # real bug and must surface, not silently weaken the oracle map
+    if trained_sql_available():
+        d["b6_noun_phrases_trained"] = trained_np_counts_sql()
+        d["token_phrase_frequency"] = trained_phrase_frequency_sql()
     return d

@@ -11,12 +11,21 @@ gnodes note in flagship_sql.py) fails fast.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from scoobie_spark.flagship_sql import flagship_oracle_sql
 
 SF = "/root/testdata/sf0.001"
+
+# skip (not error) on checkouts without the driver-generated parquet —
+# same guard as test_oracles_sql.needs_testdata
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF, "documents.parquet")),
+    reason="driver testdata not present",
+)
 
 
 def _duck_rows(resolver: str):

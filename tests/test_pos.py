@@ -339,3 +339,46 @@ def test_vectorized_decode_differential():
     assert perceptron.tag_sentences_vec(vt, odd) == [
         perceptron.tag_sentence(tagger, odd[0])
     ]
+
+
+def test_wide_window_int32_exactness():
+    """A chunker window wider than the constructor's _MAX_FEATS sizing
+    (window=7 → 34 weight rows per token) must upcast the int32 matrix
+    before summing: weights are chosen so the B-score sits just past
+    2^31 at 34 rows — without ensure_exact the int32 sum wraps negative
+    and the vectorized decode silently flips every tag to O."""
+    words = [f"w{i}" for i in range(15)]
+    tags = ["NN"] * 15
+    feats = set()
+    for prev, prev2 in [("-<S>-", "-<S>-"), ("B", "-<S>-"), ("B", "B")]:
+        for i in range(len(words)):
+            feats |= set(
+                perceptron.chunk_features(i, words, tags, prev, prev2, window=7)
+            )
+    m = perceptron.AveragedPerceptron(["B", "O"])
+    # q = 65e6: 32 rows stay under 2^31 (constructor keeps int32) but
+    # the decoder's 34 rows/token exceed it
+    m.weights = {f: {"B": 65.0} for f in feats}
+    vm = perceptron.VectorizedPerceptron(m)
+    assert vm.W.dtype == perceptron.np.int32
+    scalar = perceptron.chunk_sentence(m, words, tags, window=7)
+    assert scalar == ["B"] * 15
+    assert perceptron.chunk_sentences_vec(vm, [(words, tags)], window=7) == [scalar]
+    assert vm.W.dtype == perceptron.np.int64  # upcast actually happened
+
+
+def test_vectorize_cache_is_weak():
+    """_vectorize keys on the live model object; dropping the model must
+    drop the cache entry (an id()-keyed cache would both leak and alias
+    a recycled address to the wrong weight matrix)."""
+    import gc
+
+    m = perceptron.AveragedPerceptron(["A", "B"])
+    m.weights = {"bias": {"A": 1.0}}
+    before = len(perceptron._vec_cached)
+    vm = perceptron._vectorize(m)
+    assert perceptron._vectorize(m) is vm
+    assert len(perceptron._vec_cached) == before + 1
+    del m, vm
+    gc.collect()
+    assert len(perceptron._vec_cached) == before
