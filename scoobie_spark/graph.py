@@ -100,10 +100,19 @@ def connected_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     )
     fp = _edge_fingerprint(e)
     for _ in range(max_iter):
+        prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
         new_fp = _edge_fingerprint(e)
         if new_fp == fp:
-            break
+            # the fingerprint is probabilistic (a 64-bit hash-sum
+            # collision between different successive edge sets would
+            # stop the contraction early with silently-wrong
+            # components) — confirm exactly on the FINAL round only:
+            # counts already match exactly, so one one-sided multiset
+            # difference proves set equality. Per-round cost stays one
+            # scalar agg; the exact join runs once per call.
+            if e.exceptAll(prev).isEmpty():
+                break
         fp = new_fp
     else:
         raise RuntimeError(

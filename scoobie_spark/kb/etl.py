@@ -42,22 +42,47 @@ def parse_ntriples(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
     stage parallelism replaces the hand-rolled thread pool (SURVEY §4 O7).
     """
     lines = spark.read.text(path)
-    parsed = lines.select(
-        F.regexp_extract("value", _NT_RE, 1).alias("s"),
-        F.regexp_extract("value", _NT_RE, 2).alias("p"),
-        F.regexp_extract("value", _NT_RE, 3).alias("o"),
-        F.regexp_extract("value", _NT_RE, 4).alias("lit_raw"),
-    ).filter(F.col("s") != "")
+    # ONE regex pass per line (four regexp_extract calls would run four
+    # independent matcher passes of the same ~70-char pattern over every
+    # line — the dominant per-line cost on a 10^9-line dump): pack the
+    # groups into a \x01-separated string, then split. The separator
+    # cannot collide: N-Triples forbids raw control chars in both
+    # IRIREF (U+00-U+20 excluded) and literals (must be \u-escaped).
+    # A matched line always differs from its packed form (the <> are
+    # stripped), so `packed != value` IS the match test; size(g)=4
+    # additionally drops grammar-violating lines a raw control char
+    # would have smuggled extra separators into.
+    packed = F.regexp_replace(F.col("value"), _NT_RE, "$1\x01$2\x01$3\x01$4")
+    parsed = (
+        lines.select(packed.alias("m"), "value")
+        .filter(F.col("m") != F.col("value"))
+        .select(F.split("m", "\x01", -1).alias("g"))
+        .filter((F.size("g") == 4) & (F.col("g")[0] != ""))
+        .select(
+            F.col("g")[0].alias("s"),
+            F.col("g")[1].alias("p"),
+            F.col("g")[2].alias("o"),
+            F.col("g")[3].alias("lit_raw"),
+        )
+    )
     obj = parsed.filter(F.col("o") != "").select("s", "p", "o")
+    # exact N-Triples unescape (\" \n \t \r \\ → the actual chars,
+    # matching rdfio._unescape): \\ folds FIRST through a \x00 sentinel
+    # so "\\n" yields backslash+n, not a newline — the sentinel cannot
+    # collide because N-Triples forbids raw control chars in literals
+    # (they must appear escaped). A naive $1 backreference would turn
+    # \n into the LETTER n, injecting spurious letters into every
+    # literal the reference's parser gives a control char (which the
+    # cleansing stage then strips entirely).
+    lit = F.regexp_replace(F.col("lit_raw"), r"\\\\", "\x00")
+    lit = F.regexp_replace(lit, r"\\n", "\n")
+    lit = F.regexp_replace(lit, r"\\t", "\t")
+    lit = F.regexp_replace(lit, r"\\r", "\r")
+    lit = F.regexp_replace(lit, r"\\\"", '"')
+    lit = F.replace(lit, F.lit("\x00"), F.lit("\\"))
     dat = (
         parsed.filter((F.col("o") == "") & (F.col("lit_raw") != ""))
-        .select(
-            "s",
-            "p",
-            F.regexp_replace(
-                F.col("lit_raw"), r'\\(["ntr\\])', "$1"  # unescape \" \n \t \r \\
-            ).alias("literal"),
-        )
+        .select("s", "p", lit.alias("literal"))
     )
     return obj, dat
 
@@ -214,16 +239,32 @@ def encode_symbols(dat: DataFrame, resources: DataFrame, literals: DataFrame) ->
 def build_kb_from_string_triples(
     spark: SparkSession, obj: DataFrame, dat: DataFrame
 ) -> KB:
-    """A2-A9 composed: string triples in, dictionary-encoded KB out."""
+    """A2-A9 composed: string triples in, dictionary-encoded KB out.
+
+    The cleansed triples are staged (persist) for the build and dropped
+    after: the four KB tables consume obj_c/dat_c ~8 times between them
+    (the dictionary union alone re-reads obj 3× and dat 2×), and
+    without the stage each consumption re-parses the raw dump. The
+    build is eager — dense_ids already runs per-partition count jobs,
+    so laziness was never part of this function's contract. On a real
+    cluster the durable form of the stage is a parquet/Iceberg staging
+    table."""
     obj_c, dat_c = cleanse_triples(obj, dat)
+    obj_c = obj_c.persist()
+    dat_c = dat_c.persist()
     resources = build_resource_dictionary(obj_c, dat_c).cache()
     literals = build_literal_dictionary(dat_c).cache()
-    return KB(
+    kb = KB(
         resources=resources,
         literals=literals,
         relations=encode_relations(obj_c, resources).cache(),
         symbols=encode_symbols(dat_c, resources, literals).cache(),
     )
+    for df in (kb.resources, kb.literals, kb.relations, kb.symbols):
+        df.count()
+    obj_c.unpersist()
+    dat_c.unpersist()
+    return kb
 
 
 def build_kb_from_dumps(

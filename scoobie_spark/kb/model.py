@@ -108,6 +108,14 @@ class KB:
             # ids are stable across the lineage cut — keep the resolved
             # well-known-URI cache instead of re-running the lookups
             _uri_ids=dict(self._uri_ids),
+            # ... and the adjacency-broadcast memo (same edge content on
+            # both sides of the cut): extract_triples' default
+            # materialize_kb=True path produces a NEW KB object per
+            # call, and dropping the memo here re-collected and
+            # re-shipped the ~64MB blob on every repeated batch call.
+            # Shared (not copied) so a build through either object
+            # populates both.
+            _adj_bc=self._adj_bc,
         )
 
     def write(self, base: str, fmt: str = "parquet") -> None:

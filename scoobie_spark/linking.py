@@ -424,7 +424,14 @@ def _filter_resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame
             subject=cand["subject"].astype("int64"),
         )
         cand = _filter_batch(cand.drop(columns=["__resolver"]), drop_suffix=True)
+        if "__typed_ok" in cand.columns:
+            # template type filter: applied AFTER the span filters (so
+            # B10/B11 saw every span), BEFORE resolution — staged order.
+            # The cogroup union widened the 0/1 mark to float64.
+            cand = cand[cand["__typed_ok"].values == 1].drop(columns=["__typed_ok"])
         cand = cand.assign(__resolver=resolver)
+    elif "__typed_ok" in cand.columns:
+        cand = cand.drop(columns=["__typed_ok"])
     return _resolve_doc(cand, edges)
 
 
@@ -448,6 +455,10 @@ def _make_filter_resolve_adj(adj_or_bc):
             ).reindex(columns=_CAND_COLS)
         resolver = cand["__resolver"].iloc[0]
         cand = _filter_batch(cand.drop(columns=["__resolver"]), drop_suffix=True)
+        if "__typed_ok" in cand.columns:
+            # type filter after span filters, before resolution (staged
+            # order) — see spot_resolve
+            cand = cand[cand["__typed_ok"].values == 1].drop(columns=["__typed_ok"])
         if not len(cand):
             return cand.reindex(columns=_CAND_COLS)
 
@@ -580,8 +591,21 @@ def spot_resolve(
         .agg(F.max("belief").alias("belief"))
     )
     cand_subj = raw.drop("belief").join(sym, ["prop_id", "lit_id"])
-    if subject_filter is not None:  # SPARQL-template rdf:type pushdown (O1)
-        cand_subj = cand_subj.join(subject_filter, "subject", "left_semi")
+    if subject_filter is not None:
+        # SPARQL-template rdf:type filter (O1) — MARK, don't semi-join:
+        # the B10/B11 span filters inside the Arrow pass must see the
+        # FULL mention set (staged order: spot → resolve → type filter →
+        # disambiguate). Dropping untyped subjects here would let a
+        # contained span survive whenever its container's subjects are
+        # all filtered out — fused and staged would emit different
+        # triples. The mark is applied inside the pass AFTER the span
+        # filters, BEFORE graph resolution.
+        marked = (
+            subject_filter.select("subject").distinct().withColumn("__typed_ok", F.lit(1))
+        )
+        cand_subj = cand_subj.join(marked, "subject", "left").withColumn(
+            "__typed_ok", F.coalesce("__typed_ok", F.lit(0))
+        )
     tagged = cand_subj.withColumn("__resolver", F.lit(resolver))
     span_sort = [
         F.col("begin").asc(),
@@ -610,7 +634,16 @@ def spot_resolve(
             batch_mode=True,
             sort_cols=span_sort,
         )
-    edges = expansion_edges(cand_subj, kb)
+    # expansion edges derive from the candidates that can actually
+    # enter the disambiguation graph (staged parity: disambiguate sees
+    # the post-type-filter table) — untyped subjects' edges would only
+    # inflate the shuffle
+    edge_src = (
+        cand_subj.filter(F.col("__typed_ok") == 1)
+        if subject_filter is not None
+        else cand_subj
+    )
+    edges = expansion_edges(edge_src, kb)
     return cogrouped_apply(
         tagged,
         edges,
@@ -779,6 +812,12 @@ def apply_canonical_map(triples: DataFrame, canon: DataFrame, resources: DataFra
     """Rewrite triple subject URIs through a (subject, canonical_id)
     map — the materialization step of canonicalization. Non-subject
     columns untouched; unmapped URIs pass through."""
+    # canonicalize_by_label returns one row PER KB SUBJECT, identity for
+    # the (vast) non-duplicate majority — broadcasting that whole map
+    # would collect |subjects| decoded URI pairs to the driver. The
+    # left-join + coalesce below already passes unmapped subjects
+    # through, so only the actual remaps need to ship.
+    canon = canon.filter(F.col("canonical_id") != F.col("subject"))
     canon_uri = (
         canon.join(resources.withColumnRenamed("id", "subject"), "subject")
         .join(
@@ -807,7 +846,9 @@ def canonical_uri_map(resources: DataFrame) -> DataFrame:
     *paths* are case-sensitive and real KBs distinguish
     ``.../resource/Apple`` from ``.../resource/APPLE``."""
     no_slash = F.regexp_replace(
-        F.regexp_replace(F.col("uri"), r"^https://", "http://"), r"/+$", ""
+        # (?i): the scheme compares case-insensitively (RFC 3986), so
+        # HTTPS:// must fold to http:// like https:// does
+        F.regexp_replace(F.col("uri"), r"(?i)^https://", "http://"), r"/+$", ""
     )
     auth = F.regexp_extract(no_slash, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)", 1)
     rest = F.regexp_replace(no_slash, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*", "")

@@ -84,8 +84,11 @@ class PipelineConfig:
     # and the expansion-edge fetch are two branches of one cogroup
     # union) — without a cut the tokenize/suffix Arrow pass, the most
     # expensive stage, would execute once per branch. 'resolved' feeds
-    # recognized/known/types.
-    cut_stages: tuple = ("candidates", "resolved", "summary")
+    # recognized/known/types. 'candidates_resolved' (staged path only)
+    # is likewise consumed twice by disambiguate's cogroup union
+    # (tagged rows + expansion_edges) — without a cut the whole
+    # spot→resolve subtree would run once per branch.
+    cut_stages: tuple = ("candidates", "candidates_resolved", "resolved", "summary")
     # cut the KB tables' lineage up front (needed for ETL-built KBs whose
     # plans would otherwise be re-embedded by every stage; a KB made of
     # local/in-memory relations can skip it)

@@ -58,13 +58,22 @@ def streaming_extract(
             "streaming_extract — batches would collide on stage files; "
             "use the streaming checkpoint_dir argument instead"
         )
-    kb = kb.materialize()
+    # one up-front KB cut replaces the per-batch cut — but honor an
+    # explicit materialize_kb=False opt-out (a parquet-backed KB needs
+    # no lineage cut, and eagerly localCheckpointing its tables would
+    # pin executor storage for the stream's lifetime)
+    if config is None or config.materialize_kb:
+        kb = kb.materialize()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # fresh metrics list per micro-batch: dataclasses.replace keeps
+        # field references, so reusing the caller's list would interleave
+        # every batch's stage records and grow without bound on a
+        # long-running stream
         cfg = dataclasses.replace(
-            config or PipelineConfig(), materialize_kb=False
+            config or PipelineConfig(), materialize_kb=False, metrics=[]
         )
         triples = extract_triples(spark, batch_df, kb, cfg)
         (

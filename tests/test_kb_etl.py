@@ -112,6 +112,31 @@ def test_parse_ntriples(spark, tmp_path):
     assert lits == {'A "quoted" thing', "typed", "lang"}
 
 
+def test_parse_ntriples_control_escapes(spark, tmp_path):
+    r"""\n \t \r decode to the CONTROL characters (which cleansing then
+    strips), never to the letters n/t/r; \\n is backslash+n. Must match
+    rdfio._unescape exactly — the zip-container path uses it."""
+    from scoobie_spark.kb.etl import cleanse_triples
+    from scoobie_spark.kb.rdfio import _unescape
+
+    raws = [r"Rock\nRoll", r"a\tb", r"cr\rlf", r"keep\\nme", r"back\\slash"]
+    nt = tmp_path / "esc.nt"
+    nt.write_text(
+        "".join(f'<http://s{i}> <http://p> "{raw}" .\n' for i, raw in enumerate(raws))
+    )
+    obj, dat = parse_ntriples(spark, str(nt))
+    got = {r["s"]: r["literal"] for r in dat.collect()}
+    assert got == {f"http://s{i}": _unescape(raw) for i, raw in enumerate(raws)}
+    assert got["http://s0"] == "Rock\nRoll"
+    assert got["http://s3"] == "keep\\nme"  # escaped backslash, then letter n
+    # after cleansing, the reference strips the control chars entirely:
+    # "Rock\nRoll" → "RockRoll" (NOT "RocknRoll")
+    _, dat_c = cleanse_triples(obj, dat)
+    cleansed = {r["s"]: r["literal"] for r in dat_c.collect()}
+    assert cleansed["http://s0"] == "RockRoll"
+    assert cleansed["http://s1"] == "ab"
+
+
 def test_fix_uri_percent_encoding(spark):
     """A2 fixJavaURI parity (RDFTripleParser.java:256-273): URI-invalid
     chars percent-encoded, valid URIs untouched."""

@@ -154,3 +154,42 @@ def test_adjacency_broadcast_memoized(spark):
     # a different cap is a different cache entry, not a clobber
     assert linking.kb_adjacency_broadcast(kb, max_rows=0) is None
     assert linking.kb_adjacency_broadcast(kb) is bc1
+
+
+def test_three_physical_paths_identical_with_template(spark):
+    """Same cross-path contract with a SPARQL template engaged: the
+    fused paths must apply the rdf:type filter AFTER the B10/B11 span
+    filters (staged order) — an early semi-join would let a contained
+    span survive when its container's subjects are typed out, making
+    fused and staged emit different triples."""
+    from scoobie_spark.fixtures import EX_ONT
+
+    template = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    PREFIX ex: <{EX_ONT}>
+    SELECT * WHERE {{
+      GRAPH <http://example#recognized> {{
+        ?s rdfs:label ?l .
+        ?s a ex:Person .
+        ?s ex:livesIn ?place .
+      }}
+    }}
+    """
+    docs = micro_docs(spark)
+    kb = micro_kb(spark)
+    outs = []
+    for cfg in (
+        PipelineConfig(template=template),                        # fused, adjacency
+        PipelineConfig(template=template, adjacency_max_rows=0),  # fused, edge-join
+        PipelineConfig(template=template, fused=False),           # staged
+    ):
+        outs.append(
+            {
+                tuple(r)
+                for r in extract_triples(spark, docs, kb, cfg)
+                .select("graph", "subj", "pred", "obj")
+                .collect()
+            }
+        )
+    assert outs[0], "template run must extract something"
+    assert outs[0] == outs[1] == outs[2]
