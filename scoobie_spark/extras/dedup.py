@@ -119,7 +119,11 @@ def ngram_jaccard_pairs(
     sh = (
         shingles(docs, n, key, text)
         .select("doc_id", F.xxhash64("shingle").alias("sh"))
-        .cache()
+        # lazy localCheckpoint, not cache(): cache registry entries pin
+        # executor storage until an explicit unpersist that no caller
+        # can issue on this internal frame; checkpoint blocks release
+        # with the plan (ContextCleaner) once the query is dropped
+        .localCheckpoint(eager=False)
     )
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sh = sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "sh", "left_semi")
@@ -184,7 +188,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sh = shingles(docs, n, key, text)
-    sig = minhash_signatures(sh, num_hashes).cache()
+    sig = minhash_signatures(sh, num_hashes).localCheckpoint(eager=False)
 
     banded = sig.select(
         "doc_id",
@@ -343,7 +347,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame
         mask = (1 << w) - 1
         return F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
 
-    sig = simhash(docs, **kw).cache()
+    sig = simhash(docs, **kw).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -423,7 +427,7 @@ def _bucket_candidates_verify(
     self-join reads it twice, and without the cache every signature
     (an Arrow batch or a 24-fold projection per row) is computed
     twice."""
-    bucketed = bucketed.cache()
+    bucketed = bucketed.localCheckpoint(eager=False)
     cand = (
         bucketed.select(F.col("doc_id").alias("a"), "table", "bucket")
         .join(
@@ -439,8 +443,15 @@ def _bucket_candidates_verify(
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    # greatest(·, 1e-9): ANSI mode (Spark 4 default) raises
+    # DIVIDE_BY_ZERO on a zero-norm vector — one zero embedding in the
+    # corpus would abort the whole dedup job at the verify step. Real
+    # norms sit far above the floor, so verified cosines are unchanged.
+    norm = lambda c: F.greatest(  # noqa: E731
+        F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+        ),
+        F.lit(1e-9),
     )
     return (
         cand.join(va, "a")

@@ -62,12 +62,21 @@ def decode_stub(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, batch_target_bytes: int = 64 << 20) -> DataFrame:
     """Decode + featurize media rows (Arrow batches). Before the UDF the
-    table is repartitioned by payload size so one partition of 4K videos
-    cannot straddle an executor's memory (the 100 TB concern; harmless
-    at test scale)."""
+    table is repartitioned so the EXPECTED bytes per partition stay at
+    or below ``batch_target_bytes`` (one cheap sizing agg picks the
+    partition count; the hash key spreads payloads uniformly across
+    it) — one partition of 4K videos cannot straddle an executor's
+    memory (the 100 TB concern; harmless at test scale). A single
+    payload larger than the target is indivisible and still lands in
+    one task."""
+    import math
+
     sized = media.withColumn("n_bytes", F.octet_length("payload"))
+    total = sized.agg(F.sum("n_bytes")).first()[0] or 0
+    floor_parts = media.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(floor_parts, math.ceil(total / batch_target_bytes))
     # spread payloads uniformly so a run of big videos can't pin one task
-    sized = sized.repartition(F.xxhash64("media_id"))
+    sized = sized.repartition(n_parts, F.xxhash64("media_id"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -33,6 +33,16 @@ def _norm(c):
     return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
 
 
+def _safe_norm(c):
+    """Denominator-safe norm: Spark 4 runs ANSI mode by default, so a
+    single zero-norm vector (empty doc, zero-padded embedding) would
+    raise DIVIDE_BY_ZERO and kill the whole query. The 1e-9 floor
+    matches the numpy paths' ``np.maximum(norm, 1e-9)``; real
+    embedding norms sit far above it, so scored values are bit-identical
+    to the unguarded expression (and to the SQL oracles)."""
+    return F.greatest(_norm(c), F.lit(1e-9))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,7 +55,7 @@ def cosine_topk(
     c = corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"))
     q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (_safe_norm(F.col("qv")) * _safe_norm(F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -171,7 +181,7 @@ def ivf_flat_topk(
                 F.struct(
                     (
                         _dot(vcol, F.array(*[F.lit(float(x)) for x in r["cv"]]))
-                        / (_norm(vcol) * F.lit(_py_norm(r["cv"])))
+                        / (_safe_norm(vcol) * F.lit(max(_py_norm(r["cv"]), 1e-9)))
                     ).alias("s"),
                     F.lit(-int(r["cid"])).cast("long").alias("negcell"),
                 )
@@ -198,7 +208,7 @@ def ivf_flat_topk(
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_safe_norm(F.col("qv")) * _safe_norm(F.col("v"))))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -249,7 +259,7 @@ def ivf_topk(
 
     scored = indexed.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v"))))
+    ).withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_safe_norm(F.col("qv")) * _safe_norm(F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

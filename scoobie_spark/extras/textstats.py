@@ -27,8 +27,14 @@ _STOPWORDS = {
 def quality_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Per-doc quality signals, all Column expressions:
     n_chars, n_tokens (whitespace), alpha_ratio, punct_ratio,
-    stopword_ratio (en), mean_token_len, upper_ratio."""
-    t = F.col(text)
+    stopword_ratio (en), mean_token_len, upper_ratio.
+
+    NULL text counts as empty (the sibling operators' fillna("")
+    contract): without the coalesce a failed-fetch row yields all-null
+    scores under ANSI mode — or, with ANSI off, size(split(NULL)) = -1
+    and the row gets n_tokens=-1 / stopword_ratio=-1.0, silently
+    corrupting threshold filters downstream."""
+    t = F.coalesce(F.col(text), F.lit(""))
     toks = F.split(F.trim(t), r"\s+")
     n_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(toks))
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
@@ -56,8 +62,9 @@ def quality_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") -> 
 
 def token_counts(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy count (word chars
-    split into runs of ≤4 + residual punctuation), both JVM-side."""
-    t = F.col(text)
+    split into runs of ≤4 + residual punctuation), both JVM-side.
+    NULL text counts as empty (see quality_scores)."""
+    t = F.coalesce(F.col(text), F.lit(""))
     ws = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(F.split(F.trim(t), r"\s+")))
     # BPE-ish: every ≤4-char chunk of each word-char run + each non-space symbol
     word_chars = F.length(F.regexp_replace(t, r"[^\w]", ""))

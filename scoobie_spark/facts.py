@@ -196,7 +196,15 @@ def _cf_eval_one_doc(
             for s, j in subs.items():
                 if pred[i, j] == 0 or s == o or s not in cls or o not in cls:
                     continue
-                pr = markov.get((cls[s], p, cls[o]), 1e-6)
+                # bug-for-bug reference parity (FactRecommender.java:
+                # 442-448): ANY zero probability — stored or missing —
+                # is floored to 1e-6 before the gate, which makes
+                # `pr * pred > 0` equivalent to `pred > 0` (pred > 0
+                # already holds here). The markov stats therefore never
+                # veto a CF prediction in the reference either; the
+                # lookup is kept because the replayed protocol computes
+                # it, not because it can change the outcome.
+                pr = markov.get((cls[s], p, cls[o]), 0.0) or 1e-6
                 if pr * pred[i, j] > 0:
                     if (s, p, o) == held:
                         correct += 1

@@ -322,12 +322,28 @@ def extract_triples(
                 cfg.infer_rating,
             )
         gazetteer = ctx.filter_gazetteer(gazetteer)
+        # The reference compiles type/subject/object-property filters
+        # but only ever APPLIES the datatype-property one
+        # (RDFLiteralSpotting.java:62 is the sole IndexFilter consumer);
+        # pushing types and explicit subjects into candidate resolution
+        # is this port's O1 extension — both compose as one AND'd
+        # subject allow-list.
         if ctx.types:
-            # template type filter (FilterContext.getTypeIndexFilter): keep
-            # only candidate subjects carrying one of the requested rdf:types
+            # keep only candidate subjects carrying a requested rdf:type
             typed = kb.relations.filter(
                 (F.col("p") == kb.rdf_type_id) & F.col("o").isin(*ctx.types)
             ).select(F.col("s").alias("subject"))
+        if ctx.subjects:
+            # a template naming explicit subject URIs restricts the
+            # recognized graph to them (previously compiled but ignored)
+            subj_df = spark.createDataFrame(
+                [(int(s),) for s in sorted(ctx.subjects)], "subject long"
+            )
+            typed = (
+                subj_df
+                if typed is None
+                else typed.join(F.broadcast(subj_df), "subject", "left_semi")
+            )
 
     # --- B8-B21: spotting + linking + disambiguation ------------------
     if cfg.fused:

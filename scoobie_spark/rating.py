@@ -35,15 +35,25 @@ ALL_METRICS = [
 ]
 
 
-def graph_metric_scores(resolved: DataFrame, kb: KB) -> DataFrame:
-    """capacity = min(in,out), degree = in+out over the doc graph
-    (literal edges + known-fact edges) — CapacityBasedRating /
-    DegreeBasedRating re-expressed as per-doc edge aggregates."""
+def _doc_edges(resolved: DataFrame, kb: KB) -> DataFrame:
+    """The per-doc rating graph (literal edges + known-fact edges) —
+    shared by the degree/capacity aggregates and the HITS/PageRank
+    pass so metric_table builds the KB join once, not per family."""
     lit_e = literal_edges(resolved).select("doc_id", "src", "dst")
     fact_e = known_facts(resolved, kb).select(
         "doc_id", F.col("s").alias("src"), F.col("o").alias("dst")
     )
-    edges = lit_e.unionByName(fact_e)
+    return lit_e.unionByName(fact_e)
+
+
+def graph_metric_scores(
+    resolved: DataFrame, kb: KB, edges: DataFrame | None = None
+) -> DataFrame:
+    """capacity = min(in,out), degree = in+out over the doc graph
+    (literal edges + known-fact edges) — CapacityBasedRating /
+    DegreeBasedRating re-expressed as per-doc edge aggregates."""
+    if edges is None:
+        edges = _doc_edges(resolved, kb)
     in_d = edges.groupBy("doc_id", F.col("dst").alias("subject")).agg(
         F.count("*").alias("in_deg")
     )
@@ -135,7 +145,9 @@ def _rank_one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def graph_rank_scores(resolved: DataFrame, kb: KB) -> DataFrame:
+def graph_rank_scores(
+    resolved: DataFrame, kb: KB, edges: DataFrame | None = None
+) -> DataFrame:
     """authority / hub / pagerank per (doc, subject) over the doc graph
     (AuthorityBasedRating / HubBasedRating / PageRankBasedRating).
 
@@ -145,11 +157,8 @@ def graph_rank_scores(resolved: DataFrame, kb: KB) -> DataFrame:
     graphs (grouped.py header: 26s for 5k two-row groups)."""
     from .grouped import grouped_apply
 
-    lit_e = literal_edges(resolved).select("doc_id", "src", "dst")
-    fact_e = known_facts(resolved, kb).select(
-        "doc_id", F.col("s").alias("src"), F.col("o").alias("dst")
-    )
-    edges = lit_e.unionByName(fact_e)
+    if edges is None:
+        edges = _doc_edges(resolved, kb)
     return grouped_apply(edges, "doc_id", _rank_one_doc, _RANK_SCHEMA)
 
 
@@ -172,23 +181,39 @@ def metric_table(
     metrics: list[str],
 ) -> DataFrame:
     """Wide unnormalized (doc_id, subject, <metric...>) with exactly the
-    requested metric columns materialized."""
-    wide = graph_metric_scores(resolved, kb)
-    if {"position", "tf"} & set(metrics):
+    requested metric columns materialized.
+
+    The entity list is the spine (every reference RatingMetric.getRating
+    reads scores at the entity list only, e.g.
+    PageRankBasedRating.java:44-60); each metric FAMILY joins on only
+    when requested — metrics=["tf"] no longer pays the KB edge joins
+    and degree aggregation just to drop the columns. The doc-graph edge
+    union is built once and staged when both the degree family and the
+    rank family need it (it embeds two KB joins)."""
+    want = set(metrics)
+    wide = resolved.select("doc_id", "subject").distinct()
+    need_deg = bool({"capacity", "degree"} & want)
+    need_rank = bool({"authority", "hub", "pagerank"} & want)
+    edges = _doc_edges(resolved, kb) if (need_deg or need_rank) else None
+    if need_deg and need_rank:
+        edges = edges.localCheckpoint(eager=False)
+    if need_deg:
         wide = wide.join(
-            positional_scores(resolved, docs_with_id), ["doc_id", "subject"], "full"
+            graph_metric_scores(resolved, kb, edges), ["doc_id", "subject"], "left"
         )
-    if {"authority", "hub", "pagerank"} & set(metrics):
-        wide = wide.join(graph_rank_scores(resolved, kb), ["doc_id", "subject"], "full")
-    if "idf" in metrics:
+    if {"position", "tf"} & want:
+        wide = wide.join(
+            positional_scores(resolved, docs_with_id), ["doc_id", "subject"], "left"
+        )
+    if need_rank:
+        wide = wide.join(
+            graph_rank_scores(resolved, kb, edges), ["doc_id", "subject"], "left"
+        )
+    if "idf" in want:
         wide = wide.join(idf_scores(resolved), "subject", "left")
-    if "random" in metrics:
+    if "random" in want:
         wide = wide.withColumn("random", random_score_col())
-    # rate only resolved entity nodes: the metrics are computed over the
-    # full doc graph, but every reference RatingMetric.getRating reads
-    # scores at the entity list only (e.g. PageRankBasedRating.java:44-60)
-    entities = resolved.select("doc_id", "subject").distinct()
-    return wide.join(entities, ["doc_id", "subject"], "left_semi").fillna(0.0)
+    return wide.fillna(0.0)
 
 
 def normalize_per_doc(wide: DataFrame, metrics: list[str]) -> DataFrame:

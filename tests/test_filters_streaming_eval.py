@@ -291,3 +291,31 @@ def test_streaming_extract_with_chunker_config(spark, tmp_path):
         for r in extract_triples(spark, docs, kb, cfg).collect()
     }
     assert got == batch and got
+
+
+def test_template_subject_filter_applied(spark):
+    """A template naming an explicit subject URI restricts the
+    recognized graph to that subject (the filter used to compile into
+    ctx.subjects and then be silently ignored)."""
+    from scoobie_spark.fixtures import EX_INST
+
+    kb = micro_kb(spark)
+    docs = micro_docs(spark)
+    t = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT * WHERE {{
+      GRAPH <http://example#recognized> {{
+        <{EX_INST}Percy_Jackson> rdfs:label ?l .
+      }}
+    }}
+    """
+    out = extract_triples(spark, docs, kb, PipelineConfig(template=t))
+    rows = {
+        (r["graph"], r["subj"]) for r in out.select("graph", "subj").collect()
+    }
+    subjects = {s for _, s in rows}
+    assert subjects, "explicit-subject template must still extract"
+    assert subjects == {EX_INST + "Percy_Jackson"}
+    # unknown subject URI compiles to the impossible id -> empty output
+    t_missing = t.replace("Percy_Jackson", "No_Such_Instance")
+    assert extract_triples(spark, docs, kb, PipelineConfig(template=t_missing)).count() == 0
