@@ -159,6 +159,10 @@ def calc_prec_rec_f1(found: DataFrame, gt: DataFrame, k: int = 1000) -> DataFram
         found.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("uri", "found_uri")
+        # SET comparison like the reference: case-variant KB resources
+        # lowercased into the same found_uri must count once, or tp can
+        # exceed n_gt (recall > 1)
+        .distinct()
     )
     tp = (
         capped.join(

@@ -478,11 +478,21 @@ bip AS MATERIALIZED (  -- edge multiset: one per (phrase, lit, subject)
          -(lit_id + 1) AS src, subject AS dst
   FROM f12
 ),
-bipe AS (  -- phrase-grouped cross of lits × subjects (literal_edges)
-  SELECT DISTINCT pl.doc_id, pl.src, ps.dst
+bipx AS MATERIALIZED (
+  -- per-phrase cross of lits × subjects as a MULTISET (one row per
+  -- (phrase, lit, subject)) — exactly the engine's B16 edge list
+  -- (_resolve_one builds graph_edges from phrase_lits × phrase_subj
+  -- per phrase, without cross-phrase dedup), so the resolver degree/
+  -- rank scores below count a pair once per linking phrase like the
+  -- engine does. Two case-variant KB literals sharing one lowercased
+  -- surface make this differ from the observed `bip` rows.
+  SELECT pl.doc_id, pl.src, ps.dst
   FROM (SELECT DISTINCT doc_id, phrase, src FROM bip) pl
   JOIN (SELECT DISTINCT doc_id, phrase, dst FROM bip) ps
     USING (doc_id, phrase)
+),
+bipe AS (  -- deduped view of the cross, for connectivity only
+  SELECT DISTINCT doc_id, src, dst FROM bipx
 ),
 -- top-level UNIONs here would hit the WITH RECURSIVE no-cross-branch-
 -- dedup quirk (see gnodes) — subquery + DISTINCT instead (the branches
@@ -533,8 +543,9 @@ pruned AS (  -- keep edge iff both endpoints are candidates or deg ≥ 2
     AND (EXISTS (SELECT 1 FROM ds d WHERE d.doc_id = k.doc_id AND d.subject = k.o)
          OR (SELECT deg FROM degk g WHERE g.doc_id = k.doc_id AND g.v = k.o) >= 2)
 ),
-ge AS MATERIALIZED (  -- the doc graph edge multiset (bip + pruned KB edges)
-  SELECT doc_id, src, dst FROM bip
+ge AS MATERIALIZED (  -- the doc graph edge multiset (phrase-cross bipartite
+  -- edges, engine's graph_edges = list(bip_edges), + pruned KB edges)
+  SELECT doc_id, src, dst FROM bipx
   UNION ALL SELECT doc_id, s, o FROM pruned
 ),
 {score_ctes},

@@ -202,7 +202,11 @@ def parse_ntriples_text(text: str) -> list[tuple[str, str, str | None, str | Non
         if o is not None:
             triples.append((s, p, o, None))
         elif lit:
-            triples.append((s, p, None, re.sub(r'\\(["ntr\\])', r"\1", lit)))
+            # _unescape, NOT a $1 backreference: \n must decode to the
+            # control character (the letter-n form was the etl.py bug
+            # fixed in the Spark path — same rule here so zip-container
+            # dumps parse identically to bare/gz dumps)
+            triples.append((s, p, None, _unescape(lit)))
     return triples
 
 

@@ -341,12 +341,13 @@ def q_b3_token_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_B3 = r"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE length(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS ws_tokens,
        CAST(ceil(length(regexp_replace(text, '[^a-zA-Z0-9_]', '', 'g')) / 4.0)
             + length(regexp_replace(text, '[\w \t\n\r\f\v]', '', 'g')) AS BIGINT) AS bpe_tokens
-FROM documents
+FROM d
 """
 
 GAZETTEER_PHRASES = ["table scan", "hash join", "sort merge", "window", "shuffle"]
@@ -406,8 +407,9 @@ def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
 _SW = "'" + "','".join(sorted(textstats._STOPWORDS["en"])) + "'"
 SQL_QUALITY = rf"""
 WITH t AS (
-  SELECT doc_id, text,
-         CASE WHEN length(trim(text)) = 0 THEN 0
+  -- coalesce mirrors the engine's NULL-text-as-empty contract
+  SELECT doc_id, coalesce(text, '') AS text,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
               ELSE length(regexp_split_to_array(trim(text), '[ \t\n\r\f\v]+')) END AS n_tokens
   FROM documents
 )
@@ -586,10 +588,14 @@ def _sql_pii_redact() -> str:
         cur = f"t{i + 1}"
         counts.append(f"{nxt} AS {cur}")
     inner = ",\n       ".join(counts)
+    # derive the final stage/count names from PII_PATTERNS so a new
+    # category cannot silently desynchronize the oracle from the engine
+    n_cols = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    final = f"t{len(PII_PATTERNS)}"
     return f"""
 WITH planted AS ({planted}),
 red AS (SELECT doc_id, {inner} FROM planted)
-SELECT doc_id, n_emails, n_ipv4, n_phones, t3 AS redacted FROM red
+SELECT doc_id, {n_cols}, {final} AS redacted FROM red
 """
 
 
@@ -794,14 +800,25 @@ _B13_PATTERNS = dict(
     SCAN_PAIR=r"\btable scan\b",
 )
 _RX = {k: v.replace("'", "''") for k, v in _B13_PATTERNS.items()}
-SQL_B13 = "WITH m AS (" + " UNION ALL ".join(
-    f"SELECT doc_id, '{name}' AS regex, len(regexp_extract_all(text, '{pat}')) AS n FROM documents"
-    for name, pat in _RX.items()
-) + """)
+# the engine scans the HTML-blanked text (regexner feeds content
+# through textproc._normalize_series: tags/entities → spaces), so the
+# oracle blanks the same _TAG_RE pattern first. A single space stands
+# in for the engine's length-preserving pad — every B13 pattern is
+# \b-delimited with elastic \s*, so match COUNTS are identical and
+# counts are all this query compares.
+SQL_B13 = (
+    r"WITH d AS (SELECT doc_id, regexp_replace(text, '(?i)<[^>]*>|&[a-z]+;', ' ', 'g')"
+    " AS text FROM documents), m AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS regex, len(regexp_extract_all(text, '{pat}')) AS n FROM d"
+        for name, pat in _RX.items()
+    )
+    + """)
 SELECT regex, CAST(sum(n) AS BIGINT) AS n_matches,
        count(CASE WHEN n > 0 THEN 1 END) AS n_docs
 FROM m GROUP BY regex HAVING sum(n) > 0
 """
+)
 
 
 def q_b20_degree_rank(spark: SparkSession, sf: str) -> DataFrame:
@@ -1037,8 +1054,16 @@ def q_dedup_embedding_exact(spark: SparkSession, sf: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    # greatest(·, 1e-9) matches similarity._safe_norm / the LSH verify:
+    # without it a zero-norm embedding yields NaN here (which Spark
+    # orders ABOVE the threshold, emitting a bogus pair) while the
+    # floored LSH path scores it 0.0 — the exact baseline would stop
+    # upper-bounding LSH recall. SQL_EMB_EXACT floors identically.
+    norm = lambda c: F.greatest(  # noqa: E731
+        F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        ),
+        F.lit(1e-9),
     )
     # filter on the RAW cosine, round only for display — the same order
     # the LSH path uses, so borderline pairs cannot differ between the
@@ -1053,11 +1078,15 @@ def q_dedup_embedding_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_EMB_EXACT = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT x.vec_id AS a, y.vec_id AS b,
-       round(list_cosine_similarity(x.v, y.v), 4) AS cosine
-FROM e x JOIN e y ON x.vec_id < y.vec_id
-WHERE list_cosine_similarity(x.v, y.v) >= 0.35
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_inner_product(x.v, y.v)
+           / (greatest(sqrt(list_inner_product(x.v, x.v)), 1e-9)
+              * greatest(sqrt(list_inner_product(y.v, y.v)), 1e-9)) AS raw
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(raw, 4) AS cosine FROM p WHERE raw >= 0.35
 """
 
 
@@ -1283,9 +1312,14 @@ pk AS (
   FROM buckets x JOIN buckets y
     ON x.t = y.t AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 )
-SELECT c.a, c.b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
-FROM cand c JOIN e ea ON ea.doc_id = c.a JOIN e eb ON eb.doc_id = c.b
-WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+, vc AS (
+  SELECT c.a, c.b,
+         list_inner_product(ea.v, eb.v)
+           / (greatest(sqrt(list_inner_product(ea.v, ea.v)), 1e-9)
+              * greatest(sqrt(list_inner_product(eb.v, eb.v)), 1e-9)) AS raw
+  FROM cand c JOIN e ea ON ea.doc_id = c.a JOIN e eb ON eb.doc_id = c.b
+)
+SELECT a, b, round(raw, 4) AS cosine FROM vc WHERE raw >= 0.35
 """
 
 
@@ -1667,9 +1701,11 @@ FROM bs
 def q_b14_classify(spark: SparkSession, sf: str) -> DataFrame:
     """B14: maxent entity classification of phrase spans — trained on
     the synthetic KB's (literal → rdf:type) pairs, applied to the
-    planted labels with the reference's 0.6 margin rule
-    (EntityClassification.java:56-147). Rows-only (learned weights are
-    not SQL-expressible)."""
+    planted labels with the reference's top1−top2 margin rule
+    (EntityClassification.java:56-147; reference threshold 0.6 — here
+    0.3, loosened so the small synthetic KB's classifier accepts a
+    non-degenerate row set for the driver's rows-only check). Rows-only
+    (learned weights are not SQL-expressible)."""
     from . import classify
     from .fixtures import synth_kb
 
