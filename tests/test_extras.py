@@ -403,3 +403,30 @@ def test_contamination_planted(spark):
     # n_grams counts distinct grams: doc 4 repeats its text, 16 words -> 9
     # positions but the repeated block collapses
     assert out[4]["n_grams"] < 9
+
+
+def test_zero_norm_embeddings_do_not_crash(spark):
+    """Spark 4 runs ANSI mode by default, where an unguarded cosine
+    division raised DIVIDE_BY_ZERO on a single zero-norm vector and
+    killed the whole query. Every cosine path floors the norm now: the
+    zero vector scores ~0 (never ≥ threshold / never a top neighbor by
+    similarity), the rest of the corpus is unaffected."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(6)]
+    rows.append((6, [0.0] * 8))  # the poison row
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    topk = similarity.cosine_topk(e, e.filter(F.col("vec_id") < 2), k=3).collect()
+    assert len(topk) == 6  # 2 queries x 3 neighbors, no crash
+
+    flat = similarity.ivf_flat_topk(
+        e, e.filter(F.col("vec_id") < 2), k=3, n_cells=4, n_probe=2
+    ).collect()
+    assert flat  # assignment divides by every corpus norm — must survive
+
+    ivf = similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 2), k=3, n_cells=4, n_probe=2
+    ).collect()
+    assert ivf
+
+    near = dedup.embedding_near_dupes(e, threshold=0.35).collect()
+    assert all(r["a"] != 6 and r["b"] != 6 for r in near)  # zero vec never a dup
