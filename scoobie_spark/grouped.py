@@ -107,6 +107,14 @@ def cogrouped_apply(
             "cogrouped_apply requires disjoint non-key columns; shared: "
             f"{sorted(overlap)} (rename one side before cogrouping)"
         )
+    if key in rcols:
+        # right carrying its own column named like the LEFT key would
+        # produce duplicate output columns in the union (right_key
+        # aliased to `key` PLUS the original) and fail far from here
+        raise ValueError(
+            f"right side must not carry a non-key column named {key!r} "
+            "(it collides with the aliased join key; rename it)"
+        )
     from pyspark.sql import functions as F
 
     l_tag = left.select(

@@ -51,12 +51,12 @@ _CAND_COLS = [
 ]
 
 
-def resolve_instances(mentions: DataFrame, kb: KB) -> DataFrame:
-    """B15: mention × symbols equi-join on (prop_id, lit_id) → candidate
-    subjects (possibly several per mention — that's the ambiguity).
-    The candidate's ``belief`` is the per-SUBJECT symbol belief, not the
-    span's gazetteer confidence (which is the max over subjects)."""
-    sym = (
+def _subject_beliefs(kb: KB) -> DataFrame:
+    """(prop_id, lit_id, subject, belief): per-SUBJECT symbol beliefs —
+    the shared join dimension of resolve_instances (staged) and
+    spot_resolve (fused); one definition so a belief-semantics change
+    can never drift the two physical paths apart."""
+    return (
         kb.symbols.groupBy(
             F.col("p").alias("prop_id"),
             F.col("lit").alias("lit_id"),
@@ -64,7 +64,14 @@ def resolve_instances(mentions: DataFrame, kb: KB) -> DataFrame:
         )
         .agg(F.max("belief").alias("belief"))
     )
-    return mentions.drop("belief").join(sym, ["prop_id", "lit_id"])
+
+
+def resolve_instances(mentions: DataFrame, kb: KB) -> DataFrame:
+    """B15: mention × symbols equi-join on (prop_id, lit_id) → candidate
+    subjects (possibly several per mention — that's the ambiguity).
+    The candidate's ``belief`` is the per-SUBJECT symbol belief, not the
+    span's gazetteer confidence (which is the max over subjects)."""
+    return mentions.drop("belief").join(_subject_beliefs(kb), ["prop_id", "lit_id"])
 
 
 def subject_types(candidates: DataFrame, kb: KB) -> DataFrame:
@@ -321,6 +328,19 @@ def _resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
         )
     resolver = cand["__resolver"].iloc[0]
     cand = cand.drop(columns=["__resolver"])
+    # the staged disambiguate() cogroup pads these with nulls on the
+    # edge rows, widening them to float64 in any batch that carries
+    # edges — restore ints so the returned frame matches the int
+    # CANDIDATES_SCHEMA without relying on Spark's unsafe float→int
+    # Arrow cast (convertToArrowArraySafely=true would reject it). The
+    # fused path restores upstream, so this is a no-op there.
+    restore = {
+        c: cand[c].astype("int64")
+        for c in ("begin", "end", "lit_id", "prop_id", "subject")
+        if cand[c].dtype != np.int64
+    }
+    if restore:
+        cand = cand.assign(**restore)
 
     doc = cand["doc_id"].values
     phrases = cand["surface"].str.lower().values
@@ -381,6 +401,13 @@ def expansion_edges(candidates: DataFrame, kb: KB) -> DataFrame:
     fetching the superset keeps this a pair of plain equi-joins."""
     type_id = kb.rdf_type_id
     rel = kb.relations if type_id is None else kb.relations.filter(F.col("p") != type_id)
+    # distinct (s, o) BEFORE the corpus join: m parallel predicates
+    # between two subjects would otherwise ship m identical edge rows
+    # per mentioning document through the doc_id shuffle, only for
+    # _resolve_one's `kept` set to discard the copies; the broadcast
+    # twin (kb_adjacency) already dedupes the same way. KB-side
+    # distinct amortizes across every document.
+    rel = rel.select("s", "o").distinct()
     cand_subj = candidates.select("doc_id", "subject").distinct()
     fwd = (
         cand_subj.join(rel, cand_subj.subject == rel.s)
@@ -423,7 +450,7 @@ def _filter_resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame
             prop_id=cand["prop_id"].astype("int64"),
             subject=cand["subject"].astype("int64"),
         )
-        cand = _filter_batch(cand.drop(columns=["__resolver"]), drop_suffix=True)
+        cand = _filter_batch(cand.drop(columns=["__resolver"]))
         if "__typed_ok" in cand.columns:
             # template type filter: applied AFTER the span filters (so
             # B10/B11 saw every span), BEFORE resolution — staged order.
@@ -454,7 +481,7 @@ def _make_filter_resolve_adj(adj_or_bc):
                 columns=["__resolver", "tile_ok"], errors="ignore"
             ).reindex(columns=_CAND_COLS)
         resolver = cand["__resolver"].iloc[0]
-        cand = _filter_batch(cand.drop(columns=["__resolver"]), drop_suffix=True)
+        cand = _filter_batch(cand.drop(columns=["__resolver"]))
         if "__typed_ok" in cand.columns:
             # type filter after span filters, before resolution (staged
             # order) — see spot_resolve
@@ -517,13 +544,15 @@ def kb_adjacency(
     transfer (not a row-at-a-time ``toLocalIterator``)."""
     type_id = kb.rdf_type_id
     rel = kb.relations if type_id is None else kb.relations.filter(F.col("p") != type_id)
-    # single job: pull at most max_rows+1 distinct edges — an overflow
-    # row proves the KB exceeds the cap without a separate count probe
-    probe = rel.select("s", "o").distinct()
-    if max_rows is not None:
-        probe = probe.limit(max_rows + 1)
+    # single job: pull at most row_cap+1 distinct edges — an overflow
+    # row proves the KB exceeds the cap without a separate count probe.
+    # max_rows=None still bounds the probe via max_bytes (260 B per
+    # edge): the byte guard must reject BEFORE the driver collects an
+    # unbounded edge set, not after.
+    row_cap = max_rows if max_rows is not None else max_bytes // 260
+    probe = rel.select("s", "o").distinct().limit(row_cap + 1)
     pdf = probe.toPandas()
-    if max_rows is not None and len(pdf) > max_rows:
+    if len(pdf) > row_cap:
         return None
     # ~130 B per directed entry (3-int tuple inside a list under a dict
     # slot); each edge creates two entries
@@ -583,14 +612,7 @@ def spot_resolve(
     raw = join_gazetteer(
         candidates_raw, gazetteer if gazetteer is not None else kb.gazetteer()
     )
-    sym = (
-        kb.symbols.groupBy(
-            F.col("p").alias("prop_id"), F.col("lit").alias("lit_id"),
-            F.col("s").alias("subject"),
-        )
-        .agg(F.max("belief").alias("belief"))
-    )
-    cand_subj = raw.drop("belief").join(sym, ["prop_id", "lit_id"])
+    cand_subj = raw.drop("belief").join(_subject_beliefs(kb), ["prop_id", "lit_id"])
     if subject_filter is not None:
         # SPARQL-template rdf:type filter (O1) — MARK, don't semi-join:
         # the B10/B11 span filters inside the Arrow pass must see the
@@ -726,7 +748,13 @@ def disambiguate_classification(
     )
     kcl = known_type_cluster(candidates, kb, clusters)
     preds = classify_phrases(
-        candidates.select("doc_id", "begin", "end", F.col("surface").alias("phrase")),
+        # distinct: candidates carries one row per span per CANDIDATE
+        # SUBJECT — without the dedup a span with k candidates runs
+        # model inference k times on the identical phrase and the join
+        # below multiplies k×k before its own distinct
+        candidates.select(
+            "doc_id", "begin", "end", F.col("surface").alias("phrase")
+        ).distinct(),
         model,
         margin=margin,
     ).select("doc_id", "begin", "end", F.col("cls").alias("pred_cluster"))

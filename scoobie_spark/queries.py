@@ -807,7 +807,7 @@ _RX = {k: v.replace("'", "''") for k, v in _B13_PATTERNS.items()}
 # \b-delimited with elastic \s*, so match COUNTS are identical and
 # counts are all this query compares.
 SQL_B13 = (
-    r"WITH d AS (SELECT doc_id, regexp_replace(text, '(?i)<[^>]*>|&[a-z]+;', ' ', 'g')"
+    r"WITH d AS (SELECT doc_id, regexp_replace(text, '(?i)<[^>\x00]*>|&[a-z]+;', ' ', 'g')"
     " AS text FROM documents), m AS ("
     + " UNION ALL ".join(
         f"SELECT doc_id, '{name}' AS regex, len(regexp_extract_all(text, '{pat}')) AS n FROM d"

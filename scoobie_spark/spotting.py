@@ -79,7 +79,7 @@ def join_gazetteer(candidates: DataFrame, gazetteer: DataFrame) -> DataFrame:
     )
 
 
-def _filter_batch(pdf: pd.DataFrame, drop_suffix: bool = True) -> pd.DataFrame:
+def _filter_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Batch-vectorized B10-B12 over many complete documents at once
     (rows pre-sorted by doc_id, begin asc, end desc, prop_id, lit_id —
     TextPointer ordering, TextPointer.java:139-147).
@@ -100,7 +100,9 @@ def _filter_batch(pdf: pd.DataFrame, drop_suffix: bool = True) -> pd.DataFrame:
     is APPLIED here, after B10/B11, preserving reference order."""
     import numpy as np
 
-    drop_cols = ["tile_ok"] if drop_suffix else []
+    # tile_ok (the JVM-side B12 flag, applied below) never leaves this
+    # function — the output shape must match the positional schema
+    drop_cols = ["tile_ok"]
     n = len(pdf)
     if n == 0:
         return pdf.drop(columns=drop_cols) if drop_cols else pdf

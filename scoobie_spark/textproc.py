@@ -43,7 +43,12 @@ MAX_SUFFIX_LEN = 100  # reference Scoobie.java:94 (maxLength)
 # token — WordSegmenter.java:40-58 keeps non-whitespace segments).
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")
 _SENT_RE = re.compile(r"[.!?]+(?:\s+|$)")
-_TAG_RE = re.compile(r"<[^>]*>|&[a-z]+;", re.IGNORECASE)
+# \0 excluded from the tag body so this single-doc regex is EXACTLY
+# equivalent to _TAG_RE_NUL over the NUL-joined multi-doc buffer — a
+# document whose own bytes contain a NUL inside a tag-shaped span must
+# normalize identically on the tokenize and suffix-candidate paths, or
+# their offsets disagree
+_TAG_RE = re.compile(r"<[^>\0]*>|&[a-z]+;", re.IGNORECASE)
 
 TOKENS_SCHEMA = "doc_id long, start int, end int, sent_id int"
 CANDIDATES_SCHEMA = "doc_id long, begin int, hash int, suffix string"

@@ -47,3 +47,35 @@ def test_negative_wraparound(spark):
     for c in s:
         h = h * 31 + ord(c)
     assert expected == (h & 0xFFFFFFFF) - (1 << 32) if (h & 0xFFFFFFFF) >= (1 << 31) else True
+
+
+def test_supplementary_plane_units(spark):
+    """Java's substring(0,4) is UTF-16-UNIT based: a supplementary char
+    counts as TWO units (and a pair can even be split by the cut). Both
+    the Column expression and the python twin must implement that — the
+    pre-fix code-point forms disagreed between the KB-side bucket key
+    and the doc-side probe, silently un-spotting affected literals."""
+    from scoobie_spark.hashing import _TWO_31, _TWO_32, _utf16_units
+
+    def java_truth(s, length=4):
+        units = [u for ch in s for u in _utf16_units(ch)][:length]
+        h = 0
+        for u in units:
+            h = (h * 31 + u) & 0xFFFFFFFF
+        return h - _TWO_32 if h >= _TWO_31 else h
+
+    vals = [
+        "\U0001F600xyz",            # pair first, then BMP
+        "x\U0001F600y",             # pair split by the 4-unit cut
+        "\U0001F600\U0001F601",     # two pairs = exactly 4 units
+        "ab\U0001F600",             # 4 units, pair at the end
+        "abc\U0001F600zz",          # pair straddles the cut boundary
+        "\U00020000",               # lone supplementary (2 units < 4)
+        "\U00020000abc",
+        "é\U0001F600a",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", java_hash_prefix("s").alias("h")).collect()}
+    for v in vals:
+        assert java_hash_prefix_py(v) == java_truth(v), v
+        assert got[v] == java_truth(v), v
