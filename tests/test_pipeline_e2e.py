@@ -193,3 +193,26 @@ def test_three_physical_paths_identical_with_template(spark):
         )
     assert outs[0], "template run must extract something"
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_staged_path_survives_safe_arrow_conversion(spark):
+    """The staged disambiguate() cogroup null-pads int columns to
+    float64 inside Arrow batches that carry edge rows; _resolve_doc
+    must restore ints rather than rely on Spark's unsafe float→int
+    Arrow cast (convertToArrowArraySafely=false default). With the
+    safety flag ON, the un-restored frame would crash the staged run."""
+    key = "spark.sql.execution.pandas.convertToArrowArraySafely"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        docs = micro_docs(spark)
+        kb = micro_kb(spark)
+        got = {
+            (r["graph"], r["subj"], r["pred"], r["obj"])
+            for r in extract_triples(
+                spark, docs, kb, PipelineConfig(fused=False)
+            ).collect()
+        }
+        assert sorted(got) == MICRO_EXPECTED_TRIPLES
+    finally:
+        spark.conf.set(key, old)
