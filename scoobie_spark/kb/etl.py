@@ -123,7 +123,11 @@ def cleanse_triples(obj: DataFrame, dat: DataFrame) -> tuple[DataFrame, DataFram
         obj.filter(uri_ok(F.col("s")) & uri_ok(F.col("p")) & uri_ok(F.col("o")))
         .select(*[fix_uri(F.col(c)).alias(c) for c in ("s", "p", "o")])
     )
-    lit = F.trim(F.regexp_replace(F.col("literal"), '[\\n\\t"\\\\]', ""))
+    # strip class is exactly the reference's [\n\t"] — backslash is NOT
+    # in it: parse_ntriples' sentinel unescape carefully preserves
+    # literal backslashes (r"AC\DC"), and stripping them here would
+    # store ACDC, un-spotting every literal containing one
+    lit = F.trim(F.regexp_replace(F.col("literal"), '[\\n\\t"]', ""))
     dat_c = (
         dat.filter(uri_ok(F.col("s")) & uri_ok(F.col("p")))
         .select(fix_uri(F.col("s")).alias("s"), fix_uri(F.col("p")).alias("p"), "literal")
@@ -152,7 +156,16 @@ def dense_ids(df: DataFrame, order_col: str, num_partitions: int | None = None) 
     load-order Postgres SERIAL (PostgresKB.java:1079-1127).
     """
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions:
+        n = num_partitions
+    else:
+        # managed platforms set spark.sql.shuffle.partitions to the
+        # non-numeric "auto" — fall back to the cluster's default
+        # parallelism instead of crashing every dictionary build
+        try:
+            n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            n = spark.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())

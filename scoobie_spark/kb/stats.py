@@ -245,8 +245,23 @@ def corpus_property_idf(docs: DataFrame, kb: KB) -> DataFrame:
 
     if "doc_id" not in docs.columns:
         docs = textproc.with_doc_id(docs)
-    prefixes = [r[0] for r in kb.literals.select("prefix").distinct().collect()]
-    mentions = spot(textproc.suffix_candidates(docs, prefixes), kb.gazetteer())
+    # same single dictionary job as the flagship (pipeline.py): the
+    # distinct prefix set AND max literal length in one aggregation —
+    # the length caps emitted suffixes at max_lit + 1 instead of the
+    # worst-case MAX_SUFFIX_LEN, shrinking every candidate row shipped
+    # through the spot join
+    pref_rows = (
+        kb.literals.groupBy("prefix")
+        .agg(F.max(F.length("literal")).alias("ml"))
+        .collect()
+    )
+    prefixes = [r["prefix"] for r in pref_rows]
+    max_lit = max((r["ml"] for r in pref_rows), default=0)
+    cap = min(textproc.MAX_SUFFIX_LEN, max_lit + 1)
+    mentions = spot(
+        textproc.suffix_candidates(docs, prefixes, max_suffix_len=cap),
+        kb.gazetteer(),
+    )
     n_docs = docs.count()
     return (
         mentions.groupBy("prop_id")

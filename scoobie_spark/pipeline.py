@@ -167,8 +167,15 @@ def _stage_done(cfg: PipelineConfig, name: str) -> bool:
 
 def check_sha256(docs: DataFrame) -> DataFrame:
     """Per-row content sha256 equality vs the source table (input_hint).
-    Adds ``sha_ok``; ``assert_sha256`` enforces it."""
-    return docs.withColumn("sha_ok", F.sha2(F.col("content"), 256) == F.col("sha256"))
+    Adds ``sha_ok``; ``assert_sha256`` enforces it. Fail-closed on
+    NULLs: a row with NULL content or NULL sha256 is unverifiable and
+    counts as a mismatch — a bare ``==`` would yield sha_ok = NULL,
+    which ``~sha_ok`` then silently drops, letting corrupt rows pass
+    the invariant."""
+    return docs.withColumn(
+        "sha_ok",
+        F.coalesce(F.sha2(F.col("content"), 256) == F.col("sha256"), F.lit(False)),
+    )
 
 
 def assert_sha256(docs: DataFrame) -> None:
@@ -407,17 +414,13 @@ def extract_triples(
 
 def precision_recall(found: DataFrame, expected: DataFrame) -> dict[str, float]:
     """Triple-set P/R (reference per-stage compare protocol,
-    e.g. InstanceRecognition.compare:257-305) over (graph, subj, pred, obj)."""
-    cols = ["graph", "subj", "pred", "obj"]
-    f = found.select(*cols).distinct().cache()
-    e = expected.select(*cols).distinct().cache()
-    tp = f.join(e, cols, "left_semi").count()
-    n_found = f.count()
-    n_expected = e.count()
-    return {
-        "precision": tp / n_found if n_found else 1.0,
-        "recall": tp / n_expected if n_expected else 1.0,
-        "tp": tp,
-        "found": n_found,
-        "expected": n_expected,
-    }
+    e.g. InstanceRecognition.compare:257-305) over (graph, subj, pred,
+    obj) — delegates to the one set-P/R implementation
+    (evaluate.set_precision_recall, which also unpersists its working
+    caches; the previous inline copy leaked two cached DataFrames per
+    call)."""
+    from .evaluate import set_precision_recall
+
+    r = set_precision_recall(found, expected, ["graph", "subj", "pred", "obj"])
+    r["expected"] = r.pop("truth")
+    return r

@@ -10,7 +10,10 @@ are model artifacts this container cannot ship. We implement the same
   the tokens table (Arrow-batched), emitting the reference's ``pos``
   annotation layer.
 * ``np_chunks`` — a regex grammar over the POS layer
-  (``DT? JJ* NN+ | PRP$ NN+ | NNP+``) emitting B-NP/I-NP tags, and
+  (``DT? (JJ|CD)* (NN|NNS|NNP)+`` — no possessive-pronoun rule: the
+  heuristic tagger folds possessives into PRP, which is deliberately
+  not NP-able; the TRAINED chunker is the quality path for such
+  phrases) emitting B-NP/I-NP tags, and
   ``noun_phrases`` stitching them into spans with the running-sum
   window trick (Document.getNounPhrases tolerates a leading I-NP,
   Document.java:493-530 — same here: an I following O starts a phrase).
