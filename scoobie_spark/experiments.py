@@ -221,7 +221,9 @@ def scoobie_experiment(
     scores = rating.relevance_scores(
         resolved, kb, docs.select("doc_id", "content"), metrics=["capacity"]
     )
-    ranked = serialize.ranked_subjects(resolved, scores, kb)
+    # ordered=False: calc_prec_rec_f1 re-ranks with its own window, so
+    # the serializer's terminal global sort would be a wasted shuffle
+    ranked = serialize.ranked_subjects(resolved, scores, kb, ordered=False)
 
     ids = docs.select("doc_id", F.col("path").alias("doc_uri"))
     found = (
@@ -499,6 +501,13 @@ def relevance_rating_experiment(
     gt_in_kb = gt.join(kb_uris, "gt_uri", "left_semi")
     ng = gt_in_kb.groupBy("uri").agg(F.countDistinct("gt_uri").alias("n_gt"))
 
+    # SET semantics per ranked list: case-variant KB resources lowercase
+    # into one found_uri and must rank ONCE (at their best score) — two
+    # peer rows would let tp exceed n_gt (recall > 1) and inflate every
+    # peer's cum_rel, the same hazard calc_prec_rec_f1 dedups against
+    long = long.groupBy("uri", "metric", "found_uri").agg(
+        F.max("value").alias("value")
+    )
     rel = long.join(
         gt_in_kb.withColumnRenamed("gt_uri", "found_uri").withColumn(
             "is_rel", F.lit(1)
@@ -509,8 +518,12 @@ def relevance_rating_experiment(
     w = Window.partitionBy("uri", "metric").orderBy(
         F.col("value").desc(), F.col("found_uri")
     )
+    # explicit ROWS frame (like evaluate.mean_average_precision): the
+    # default RANGE frame would give value-tied peers each other's
+    # relevance mass
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = rel.withColumn("rank", F.row_number().over(w)).withColumn(
-        "cum_rel", F.sum("is_rel").over(w)
+        "cum_rel", F.sum("is_rel").over(w_cum)
     )
     per_doc = ranked.groupBy("uri", "metric").agg(
         F.sum(

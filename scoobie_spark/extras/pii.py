@@ -40,8 +40,11 @@ def redact_pii(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Data
     Counts are computed on the text as it stands *before* that
     category's replacement (so overlapping shapes resolve by the fixed
     category order), and every count is a long for schema stability.
+    NULL text counts as empty (the extras-family contract — a bare
+    regexp_count(NULL) would emit NULL counts that downstream
+    threshold filters silently drop).
     """
-    cur = F.col(text)
+    cur = F.coalesce(F.col(text), F.lit(""))
     cols = [F.col(key).alias("doc_id")]
     for name, pat, rep in PII_PATTERNS:
         cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))

@@ -10,7 +10,21 @@ then pushed into the gazetteer SQL (``predicate IN (...)``,
 Here the compiled filters become plain DataFrame ``isin`` predicates
 applied to the gazetteer / candidates tables — Catalyst pushes them
 through the joins into the scans (predicate pushdown is free once the
-filter is declarative). The parser handles the template subset the
+filter is declarative).
+
+DELIBERATE divergence from the reference's visitor
+(FilterContext.java ``lookupPredicate``): the reference classifies a
+predicate via ``kb.getPropertyType`` and silently SKIPS unknown or
+non-datatype predicates — a template naming only such predicates
+leaves the datatype filter empty and spotting runs UNRESTRICTED. Here
+the same template compiles to the impossible filter ``{-1}`` (spot
+nothing): a constrained query should never over-extract the whole
+corpus because its constraints could not be indexed, and the
+``infer()`` mechanism (which the reference's own QueryExperiment
+always pairs with object-property templates) is the supported way to
+widen such a template. Pinned by
+tests/test_filters_streaming_eval.py::test_template_pushdown_restricts_extraction
+and ::test_template_infer_expands_filters. The parser handles the template subset the
 reference's experiments use (PREFIX decls + triple patterns with
 variables, URIs, and a ``GRAPH <...#recognized>`` block); it is a
 ~60-line regex parser, not a full SPARQL engine — rdflib is not in the
@@ -174,11 +188,14 @@ def compile_template(query: str, kb: KB) -> FilterContext:
                     datatype_uris.add(p_u)
                     object_uris.add(p_u)
 
+    # ONE batched dictionary lookup for every template URI (kb.uri_ids
+    # caches and batches; four separate isin-collects here were four
+    # serial driver jobs)
+    all_uris = subject_uris | type_uris | datatype_uris | object_uris
+    uri_map = kb.uri_ids(sorted(all_uris)) if all_uris else {}
+
     def ids_of(uris: set[str]) -> set[int]:
-        if not uris:
-            return set()
-        rows = kb.resources.filter(F.col("uri").isin(*uris)).collect()
-        return {r["id"] for r in rows}
+        return {uri_map[u] for u in uris if uri_map.get(u) is not None}
 
     # a template URI missing from the dictionary compiles to the
     # impossible id -1 (the reference's getUriIndex returns -1 for

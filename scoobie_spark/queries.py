@@ -548,7 +548,9 @@ def _plant_pii(doc_id, text):
             )
         )
     )
-    return F.concat(text, suffix)
+    # coalesce mirrors the oracle's planted CTE: concat(NULL, ...) would
+    # otherwise null out the whole planted row
+    return F.concat(F.coalesce(text, F.lit("")), suffix)
 
 
 def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
@@ -572,7 +574,7 @@ def _sql_pii_redact() -> str:
 
     planted = """
   SELECT doc_id,
-         text || CASE
+         coalesce(text, '') || CASE
            WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
            WHEN doc_id % 3 = 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
            ELSE ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'

@@ -91,17 +91,26 @@ def predicted_triples(predicted: DataFrame, kb: KB) -> DataFrame:
     )
 
 
-def ranked_subjects(resolved: DataFrame, scores: DataFrame, kb: KB) -> DataFrame:
+def ranked_subjects(
+    resolved: DataFrame, scores: DataFrame, kb: KB, ordered: bool = True
+) -> DataFrame:
     """B27 (postprocessor/ListSerializer.java:39-79): subjects ordered by
-    relevance score desc → ranked URI list per document."""
-    return (
+    relevance score desc → ranked URI list per document.
+
+    ``ordered=False`` skips the terminal global sort (a full
+    range-partition shuffle): callers that re-rank with their own
+    window — the ScoobieExperiment replay ranks inside
+    calc_prec_rec_f1 — would pay for an ordering the next shuffle
+    destroys."""
+    out = (
         resolved.select("doc_id", "subject")
         .distinct()
         .join(scores, ["doc_id", "subject"])
         .join(_uri(kb.resources, "subject", "uri"), "subject")
-        .orderBy(F.col("doc_id"), F.col("score").desc(), F.col("uri"))
-        .select("doc_id", "uri", "score")
     )
+    if ordered:
+        out = out.orderBy(F.col("doc_id"), F.col("score").desc(), F.col("uri"))
+    return out.select("doc_id", "uri", "score")
 
 
 def rdfa_serialize(docs_with_id: DataFrame, resolved: DataFrame, kb: KB) -> DataFrame:
