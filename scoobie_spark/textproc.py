@@ -234,18 +234,36 @@ def suffix_candidates(
                 0, len(texts) - 1
             )
             n_avail = np.minimum(4, doc_end[didx] - starts).astype(np.int32)
-            win = np.stack(
-                [cp_pad[starts + k] for k in range(4)], axis=1
-            ).astype(np.int32)
             # Java's left-fold string hash over the first n_avail chars
             # is the polynomial sum_{k<n} c_k * 31^(n-1-k); ASCII chars
             # keep it under 127·(31³+31²+31+1) < 2³¹, so int32 holds it
-            # exactly and the 32-bit wrap + sign fold are no-ops
-            exp = n_avail[:, None] - 1 - np.arange(4, dtype=np.int32)[None, :]
-            pw = np.where(exp >= 0, _POW31_32[np.clip(exp, 0, 3)], 0)
-            h_or = (win * pw).sum(axis=1, dtype=np.int32)
-            lo_win = np.where((win >= 65) & (win <= 90), win + 32, win)
-            h_lo = (lo_win * pw).sum(axis=1, dtype=np.int32)
+            # exactly and the 32-bit wrap + sign fold are no-ops.
+            # Horner form on 1-D vectors (h = ((c0·31+c1)·31+c2)·31+c3)
+            # instead of a (n,4) window matrix × power table: same
+            # values, ~5× less work — this hash was the kernel's top
+            # cost (52% of stage time at ×960)
+            g = cp_pad[starts].astype(np.int32)
+            h_or = g
+            h_lo = np.where((g >= 65) & (g <= 90), g + 32, g)
+            for k in range(1, 4):
+                g = cp_pad[starts + k].astype(np.int32)
+                h_or = h_or * 31 + g
+                h_lo = h_lo * 31 + np.where((g >= 65) & (g <= 90), g + 32, g)
+            # windows clipped by a document end (n_avail < 4) hash only
+            # their first n_avail chars — the Horner fold above read into
+            # the NUL separator + next doc, so recompute that rare subset
+            # (≤3 token starts per document tail) with the exact
+            # power-table formula
+            short = np.flatnonzero(n_avail < 4)
+            if len(short):
+                win_s = np.stack(
+                    [cp_pad[starts[short] + k] for k in range(4)], axis=1
+                ).astype(np.int32)
+                exp = n_avail[short][:, None] - 1 - np.arange(4, dtype=np.int32)[None, :]
+                pw = np.where(exp >= 0, _POW31_32[np.clip(exp, 0, 3)], 0)
+                h_or[short] = (win_s * pw).sum(axis=1, dtype=np.int32)
+                lo_s = np.where((win_s >= 65) & (win_s <= 90), win_s + 32, win_s)
+                h_lo[short] = (lo_s * pw).sum(axis=1, dtype=np.int32)
 
             def _in32(h):
                 # prefix_arr32 is sorted & deduped at build time:
