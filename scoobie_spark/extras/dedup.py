@@ -592,3 +592,39 @@ def embedding_near_dupes_hashplanes(
         ).alias("tb"),
     ).select("doc_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
     return _bucket_candidates_verify(cols, bucketed, threshold)
+
+
+# --------------------------------------------------------------------------
+# survivor selection
+# --------------------------------------------------------------------------
+
+def survivors(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """One canonical survivor per near-duplicate cluster.
+
+    A pair generator (any of the families above) emits edges; a
+    production dedup pass must then KEEP exactly one document per
+    duplicate cluster — the transitive closure matters (a~b, b~c ⇒
+    a,b,c are one cluster even if a~c was never emitted, the standard
+    MinHash-dedup semantics). Clusters are the connected components of
+    the pair graph (distributed Kiveris star-contraction,
+    ``graph.connected_components`` — O(log² n) rounds, no driver-side
+    union-find), keeper = smallest ``key`` in the cluster.
+
+    Returns (doc_id, keeper_id, is_survivor) for EVERY input doc:
+    unpaired docs keep themselves. Scale shape: the only new work over
+    the CC rounds is one doc_id equi-join of the (small) component map
+    against the corpus — no text columns move.
+    """
+    from .. import graph
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc = graph.connected_components(edges).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select(F.col(key).alias("doc_id"))
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("keeper_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("keeper_id"))
+    )

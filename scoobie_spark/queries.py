@@ -1645,6 +1645,43 @@ SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node
 )
 
 
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-survivor selection — the production dedup apply step:
+    near-dup pairs → connected components (transitive closure) → keep
+    the smallest doc_id per cluster, every unpaired doc keeps itself.
+    Both composed pieces are themselves oracle-green
+    (``dedup_ngram_jaccard`` edges, ``b17_cc_jaccard`` components), so
+    the full keep/drop verdict is value-checked end to end."""
+    d = _T(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup.survivors(d, pairs)
+
+
+SQL_DEDUP_SURVIVORS = (
+    "WITH RECURSIVE pairs AS ("
+    + SQL_NGRAM_JACCARD
+    + """
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), comp AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS keeper_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary multimodal columns: deterministic synthetic media
     + Arrow-batched decode-stub feature extraction (real plumbing,
@@ -2078,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_phrase_frequency": q_token_phrase_frequency,
         "b17_components": q_b17_components,
         "b17_cc_jaccard": q_b17_cc_jaccard,
+        "dedup_survivors": q_dedup_survivors,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "resolver_pagerank": q_resolver_pagerank,
@@ -2143,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,
         "b17_cc_jaccard": SQL_B17_CC,
+        "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "text_fingerprints": SQL_FINGERPRINTS,
         "dedup_simhash": SQL_SIMHASH,
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,

@@ -430,3 +430,12 @@ def test_zero_norm_embeddings_do_not_crash(spark):
 
     near = dedup.embedding_near_dupes(e, threshold=0.35).collect()
     assert all(r["a"] != 6 and r["b"] != 6 for r in near)  # zero vec never a dup
+
+
+def test_dedup_survivors_transitive(spark):
+    # a~b and b~c but never a~c: the cluster must still collapse to one
+    # keeper (transitive closure), and the unpaired doc keeps itself
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    out = {r["doc_id"]: (r["keeper_id"], r["is_survivor"]) for r in dedup.survivors(docs, pairs).collect()}
+    assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True), 4: (4, True)}

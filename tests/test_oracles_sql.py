@@ -61,6 +61,7 @@ def _rows(df_rows, cols):
         "decontaminate",
         "b6_noun_phrases_trained",
         "token_phrase_frequency",
+        "dedup_survivors",
     ],
 )
 def test_derived_oracle_matches(spark, name):
