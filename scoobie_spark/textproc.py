@@ -171,6 +171,25 @@ def suffix_candidates(
     # probes this narrower copy (same sort order — int32-range values)
     prefix_arr32 = prefix_arr.astype(np.int32)
     prefix_set = set(prefix_arr.tolist())  # O(1) probes for the slow path
+    # direct-mapped probe table: for small prefix sets (every gazetteer
+    # in the bundled KBs; a 10^6-prefix DBpedia falls back to the
+    # sorted-array binary search below) find a power-of-2 mask under
+    # which no two prefixes share a slot — membership then costs one
+    # gather + compare per token instead of a log-n searchsorted, which
+    # had become the kernel's largest single line after the Horner fold
+    probe_tab = None
+    if 0 < len(prefix_arr32) <= 65536:
+        m = 256
+        while m <= (1 << 22):
+            slots = prefix_arr32.astype(np.int64) & (m - 1)
+            if len(np.unique(slots)) == len(prefix_arr32):
+                # sentinel 2^40 is outside int32 range → empty slots
+                # never equal a probed hash
+                probe_tab = np.full(m, np.int64(1) << 40, dtype=np.int64)
+                probe_tab[slots] = prefix_arr32
+                probe_mask = np.int64(m - 1)
+                break
+            m <<= 1
 
     sha_cols = ["sha256"] if check_sha256 and "sha256" in docs.columns else []
     cols = docs.select("doc_id", "content", *sha_cols)
@@ -229,9 +248,15 @@ def suffix_candidates(
             if len(starts) == 0:
                 return None
             # every surviving start is an alnum char inside some doc,
-            # so n_avail ≥ 1 by construction
-            didx = np.searchsorted(doc_end, starts, side="right").clip(
-                0, len(texts) - 1
+            # so n_avail ≥ 1 by construction. starts is sorted, so
+            # invert the probe direction: count starts below each of
+            # the ~256 doc ends (m log n) instead of searching every
+            # start into doc_end (n log m) — measured 12× faster at
+            # n/m ≈ 170, value-identical (no start can sit ON a doc
+            # end: the NUL separator is head-class 0 and was filtered)
+            cuts = np.searchsorted(starts, doc_end, side="left")
+            didx = np.repeat(
+                np.arange(len(texts), dtype=np.int64), np.diff(cuts, prepend=0)
             )
             n_avail = np.minimum(4, doc_end[didx] - starts).astype(np.int32)
             # Java's left-fold string hash over the first n_avail chars
@@ -266,6 +291,8 @@ def suffix_candidates(
                 h_lo[short] = (lo_s * pw).sum(axis=1, dtype=np.int32)
 
             def _in32(h):
+                if probe_tab is not None:
+                    return probe_tab[h & probe_mask] == h
                 # prefix_arr32 is sorted & deduped at build time:
                 # searchsorted probes it in place (np.isin re-sorts a
                 # concatenated copy on every call)
@@ -404,28 +431,35 @@ def suffix_candidates(
             # arrays stay cache-resident (a whole 64k-doc batch would
             # allocate multi-GB temporaries)
             CHUNK = 256
-            frames = []
+            # accumulate per-chunk numpy arrays and assemble ONE pandas
+            # frame per Arrow batch: the per-chunk DataFrame + concat
+            # construction was ~17% of kernel wall time (pandas block
+            # manager overhead × 12 chunks), pure overhead at ×960
+            acc_ids: list[np.ndarray] = []
+            acc_begin: list[np.ndarray] = []
+            acc_hash: list[np.ndarray] = []
+            acc_suffix: list[str] = []
             for c0 in range(0, len(texts), CHUNK):
                 chunk = texts[c0 : c0 + CHUNK]
                 res = batch_candidates(chunk)
                 if res is None:
                     continue
                 didx, begin_local, hashes, gstart, joined, doc_end = res
-                suffixes = [
+                acc_suffix.extend(
                     joined[int(a) : min(int(a) + max_suffix_len, int(doc_end[d]))]
                     for a, d in zip(gstart, didx)
-                ]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": pd.Series(ids[c0 + didx], dtype="int64"),
-                            "begin": pd.Series(begin_local, dtype="int32"),
-                            "hash": pd.Series(hashes, dtype="int32"),
-                            "suffix": pd.Series(suffixes, dtype="object"),
-                        }
-                    )
                 )
-            if frames:
-                yield pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+                acc_ids.append(ids[c0 + didx])
+                acc_begin.append(begin_local)
+                acc_hash.append(hashes)
+            if acc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(np.concatenate(acc_ids), dtype="int64"),
+                        "begin": pd.Series(np.concatenate(acc_begin), dtype="int32"),
+                        "hash": pd.Series(np.concatenate(acc_hash), dtype="int32"),
+                        "suffix": pd.Series(acc_suffix, dtype="object"),
+                    }
+                )
 
     return cols.mapInPandas(gen, CANDIDATES_SCHEMA)
