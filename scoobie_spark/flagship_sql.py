@@ -212,23 +212,15 @@ _RESOLVER_SCORE_SQL = {
 }
 
 
-def flagship_oracle_sql(
-    n_instances: int = 200,
-    giant_repo_fraction: int = 3,
-    src_docs: str = "documents",
-    resolver: str = "degree",
-) -> str:
-    n = n_instances
+def kb_synthesis_ctes(n: int) -> str:
+    """CTE block replaying ``fixtures.synth_kb_rows(n)`` + the driver-side
+    dictionary encode (fixtures.py:215-237): instance labels, string
+    triples, row_number-over-sorted-uri ids, and the ``rel`` / ``litid``
+    / ``symtab`` tables every synthetic-KB oracle starts from. Shared by
+    the flagship oracle and the b14 maxent-decode oracle
+    (:mod:`scoobie_spark.b14_sql`)."""
     nf, nl = len(_FIRST), len(_LAST)
-
-    # --- doc_id = xxhash64(repo, path, commit), chained ----------------
-    x1, f1 = xxh64_string_ctes("x1", "corp", "repo", "path, commit_c, content")
-    x2, f2 = xxh64_string_ctes("x2", f1, "path", "commit_c, content", seed="h")
-    x3, f3 = xxh64_string_ctes("x3", f2, "commit_c", "content", seed="h")
-
-    return f"""
-WITH RECURSIVE
--- ====================== KB synthesis (fixtures.synth_kb_rows) ========
+    return f"""-- ====================== KB synthesis (fixtures.synth_kb_rows) ========
 firsts(fi, fw) AS (VALUES {_values(_FIRST)}),
 lasts(li, lw) AS (VALUES {_values(_LAST)}),
 classes(ci, cw) AS (VALUES {_values(_CLASSES)}),
@@ -279,7 +271,25 @@ symtab AS MATERIALIZED (  -- (subject, prop, lit): every label symbol
   SELECT su.id AS subject, (SELECT id FROM lblid) AS prop_id, l.lit_id
   FROM inst JOIN urid su ON su.uri = inst.uri
             JOIN litid l ON l.literal = inst.label
-),
+)"""
+
+
+def flagship_oracle_sql(
+    n_instances: int = 200,
+    giant_repo_fraction: int = 3,
+    src_docs: str = "documents",
+    resolver: str = "degree",
+) -> str:
+    n = n_instances
+
+    # --- doc_id = xxhash64(repo, path, commit), chained ----------------
+    x1, f1 = xxh64_string_ctes("x1", "corp", "repo", "path, commit_c, content")
+    x2, f2 = xxh64_string_ctes("x2", f1, "path", "commit_c, content", seed="h")
+    x3, f3 = xxh64_string_ctes("x3", f2, "commit_c", "content", seed="h")
+
+    return f"""
+WITH RECURSIVE
+{kb_synthesis_ctes(n)},
 -- ====================== corpus synthesis (fixtures.synth_corpus) =====
 corp0 AS (
   SELECT d.doc_id AS k, d.text,

@@ -1743,13 +1743,16 @@ def q_b14_classify(spark: SparkSession, sf: str) -> DataFrame:
     planted labels with the reference's top1−top2 margin rule
     (EntityClassification.java:56-147; reference threshold 0.6 — here
     0.3, loosened so the small synthetic KB's classifier accepts a
-    non-degenerate row set for the driver's rows-only check). Rows-only
-    (learned weights are not SQL-expressible)."""
+    non-degenerate row set). Fully oracled since round 4: training is
+    bit-deterministic (b14_sql.train_b14 collects the pairs in total
+    (literal, cls) order — partition-count independent) and the decode
+    replays in DuckDB against the frozen weight artifact
+    (scoobie_spark/b14_sql.py has the argument and the slack
+    evidence)."""
     from . import classify
-    from .fixtures import synth_kb
+    from .b14_sql import train_b14
 
-    kb = synth_kb(spark, n_instances=100)
-    clf = classify.train_entity_classifier(classify.training_pairs(kb), epochs=1200)
+    kb, clf = train_b14(spark)
     phrases = (
         kb.symbols.join(kb.literals.withColumnRenamed("id", "lit"), "lit")
         .select(
@@ -2211,9 +2214,10 @@ def oracle_sql() -> dict[str, str]:
         "b24_cf_eval": SQL_B24_CF_EVAL,
         # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
         # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
-        # carries the value oracle for the IVF machinery),
-        # micro_pipeline_classification + b14_classify (trained maxent:
-        # float-iterative training, unlike the integer perceptrons)
+        # carries the value oracle for the IVF machinery) and
+        # micro_pipeline_classification (the full spot→link→classify
+        # composition; its maxent DECODE is oracled via b14_classify
+        # below, and its graph legs via the flagship oracle)
     }
     # The TRAINED B5/B6 perceptron decode replays exactly in SQL
     # (integer weights → exact greedy argmax chain; perceptron_sql.py
@@ -2233,4 +2237,13 @@ def oracle_sql() -> dict[str, str]:
     if trained_sql_available():
         d["b6_noun_phrases_trained"] = trained_np_counts_sql()
         d["token_phrase_frequency"] = trained_phrase_frequency_sql()
+
+    # Same deal for the trained b14 maxent decode (frozen weight
+    # artifact + float64 DuckDB replay; b14_sql.py has the slack
+    # argument for why the float32/float64 split cannot flip decisions
+    # on this fixture).
+    from .b14_sql import b14_classify_sql, b14_sql_available
+
+    if b14_sql_available():
+        d["b14_classify"] = b14_classify_sql()
     return d
