@@ -1820,7 +1820,10 @@ def q_micro_pipeline_classification(spark: SparkSession, sf: str) -> DataFrame:
     mentions = spot(textproc.suffix_candidates(docs, kb_prefixes), kb.gazetteer())
     cand = resolve_instances(mentions, kb)
     clusters = type_clusters(kb, sample_per_type=None)
-    model = train_entity_classifier(training_pairs(kb, clusters), epochs=400)
+    # total (literal, cls) order before the driver-side fit — same
+    # partition-count determinism argument as b14_sql.train_b14
+    pairs = training_pairs(kb, clusters).orderBy("literal", "cls")
+    model = train_entity_classifier(pairs, epochs=400)
     resolved = disambiguate_classification(cand, kb, model, clusters, margin=0.0)
     return resolved.groupBy("subject").agg(F.count("*").alias("n_mentions"))
 
