@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_survivors",
     "quality_scores",
     "quality_repetition",
     "sample_split",

@@ -28,6 +28,10 @@ DEFAULT = [
     "a12_cardinalities",
     "b9_phrase_spotting",
     "dedup_exact",
+    # survivors: the docs⋈components join reads doc_id ONLY from the
+    # scan; the component side is left to AQE (broadcast when small —
+    # it can be corpus-scale at a 100 TB dup rate, so no static hint)
+    "dedup_survivors",
     "ann_topk",
     "quality_repetition",
     "sample_split",
