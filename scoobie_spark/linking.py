@@ -353,6 +353,25 @@ def _resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
     e_dir = edges["dir"].values if len(edges) else []
     e_anc = edges["anchor"].values if len(edges) else []
 
+    # batch-vectorized B16-B21 for the production resolvers; per-doc
+    # numpy fallback (ambiguous docs only) for the eigenvector family
+    from . import resolve_batch as rb
+
+    st = rb.analyze(doc, phrases, lit_nodes, subjects)
+    if not st.amb_any:
+        return cand[_CAND_COLS]
+    if resolver in rb.VECTOR_RESOLVERS:
+        loser = rb.losers(
+            st,
+            resolver,
+            rb.map_doc_codes(st, e_doc),
+            np.asarray(e_src, dtype=np.int64),
+            np.asarray(e_dst, dtype=np.int64),
+            np.asarray(e_dir == "f") if len(edges) else np.array([], dtype=bool),
+            np.asarray(e_anc, dtype=np.int64),
+        )
+        return cand[~loser[st.row_pair]][_CAND_COLS]
+
     keep = np.ones(len(cand), dtype=bool)
     # per-doc slices: cand sorted by doc_id; edges located via searchsorted
     c_bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1], True])
@@ -360,6 +379,8 @@ def _resolve_doc(cand: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
     e_doc_sorted = e_doc[e_sorted] if len(edges) else e_doc
     for k in range(len(c_bounds) - 1):
         i0, i1 = c_bounds[k], c_bounds[k + 1]
+        if not st.doc_amb[st.d_codes[i0]]:
+            continue
         d = doc[i0]
         if len(edges):
             j0, j1 = np.searchsorted(e_doc_sorted, d, "left"), np.searchsorted(
@@ -493,10 +514,28 @@ def _make_filter_resolve_adj(adj_or_bc):
         phrases = cand["surface"].str.lower().values
         lit_nodes = (-(cand["lit_id"].astype("int64") + 1)).values
         subjects = cand["subject"].values.astype("int64")
+        # batch-vectorized B16-B21 (resolve_batch.py): components +
+        # ambiguity for the whole batch at once; the adjacency gather
+        # runs only over ambiguous docs (the scalar loop built every
+        # doc's edge lists before its early-exit — pure waste for the
+        # unambiguous majority)
+        from . import resolve_batch as rb
+
+        st = rb.analyze(doc, phrases, lit_nodes, subjects)
+        if not st.amb_any:
+            return cand[_CAND_COLS]
+        if resolver in rb.VECTOR_RESOLVERS:
+            arrs = rb.adjacency_arrays(adj)
+            loser = rb.losers(st, resolver, *rb.gather_adjacency(st, arrs))
+            return cand[~loser[st.row_pair]][_CAND_COLS]
+        # eigenvector family (pagerank/HITS): per-doc numpy path,
+        # restricted to the ambiguous docs
         keep = np.ones(len(cand), dtype=bool)
         c_bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1], True])
         for k in range(len(c_bounds) - 1):
             i0, i1 = c_bounds[k], c_bounds[k + 1]
+            if not st.doc_amb[st.d_codes[i0]]:
+                continue
             es, ed_, edir, eanc = [], [], [], []
             for s in set(subjects[i0:i1].tolist()):
                 for a, b, d in adj.get(s, ()):

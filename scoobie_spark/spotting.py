@@ -129,36 +129,50 @@ def _filter_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         doc, a, b = pdf["doc_id"].values, pdf["begin"].values, pdf["end"].values
     n = len(pdf)
 
-    # B10 — longest-match scan (RDFLiteralSpotting.filterLongestMatches:186-214)
-    keep = np.ones(n, dtype=bool)
-    cur = None
-    s0_a = s0_b = -1
-    for i in range(n):
-        if doc[i] != cur:
-            cur = doc[i]
-            s0_a, s0_b = int(a[i]), int(b[i])
-            continue
-        ai, bi = int(a[i]), int(b[i])
-        if (s0_b - s0_a) > (bi - ai) and ai >= s0_a and bi <= s0_b:
-            keep[i] = False
-        else:
-            s0_a, s0_b = ai, bi
+    # B10 — longest-match (RDFLiteralSpotting.filterLongestMatches:186-214).
+    # Vectorized via the declarative equivalent of the greedy anchor
+    # scan: drop a span iff SOME strictly-longer span in the doc
+    # contains it (the anchor-chain induction in flagship_sql.py's
+    # header proves the equivalence; test_spotting_property pins it
+    # against brute force). Under the (begin asc, end desc) sort every
+    # candidate container precedes the row, so "strictly-longer
+    # container exists" reduces to: the exclusive per-doc prefix max of
+    # `end` over preceding DISTINCT (begin, end) spans reaches this
+    # row's end. Rows sharing an identical span (multi-literal/subject)
+    # must not drop each other, hence the distinct-span granularity.
+    new_doc = np.r_[True, doc[1:] != doc[:-1]]
+    new_span = new_doc | np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    grp = np.cumsum(new_doc) - 1  # doc ordinal per row
+    span_i = np.flatnonzero(new_span)  # first row of each distinct span
+    s_doc, s_b = grp[span_i], b[span_i].astype(np.int64)
+    OFF = int(b.max()) + 1 if n else 1
+    incl = np.maximum.accumulate(s_b + s_doc * OFF) - s_doc * OFF
+    excl = np.empty_like(incl)
+    excl[0] = -1
+    excl[1:] = incl[:-1]
+    excl[new_doc[span_i]] = -1  # first span of each doc has no container
+    span_keep = excl < s_b
+    keep = np.repeat(span_keep, np.diff(np.r_[span_i, n]))
     pdf = pdf[keep]
     if not len(pdf):
         return pdf.drop(columns=drop_cols) if drop_cols else pdf
 
-    # B11 — case filter (filterCaseMatches:216-246), keyed by (doc, surface)
+    # B11 — case filter (filterCaseMatches:216-246), keyed by (doc,
+    # surface): a non-exact row drops iff some surviving row with the
+    # same surface in the doc is case-exact. Pair-coded bincount, no
+    # python set walk.
     surf = pdf["surface"].values
     lit = pdf["literal"].values
     doc2 = pdf["doc_id"].values
     exact_mask = surf == lit
-    exact_keys = set(zip(doc2[exact_mask].tolist(), surf[exact_mask].tolist()))
-    if exact_keys:
-        in_exact = np.fromiter(
-            ((d, s) in exact_keys for d, s in zip(doc2.tolist(), surf.tolist())),
-            dtype=bool,
-            count=len(pdf),
-        )
+    if exact_mask.any():
+        s_codes, _ = pd.factorize(surf)
+        d_codes, _ = pd.factorize(doc2)
+        pair = d_codes.astype(np.int64) * (int(s_codes.max()) + 1) + s_codes
+        p_codes, p_uniq = pd.factorize(pair)
+        has_exact = np.zeros(len(p_uniq), dtype=bool)
+        has_exact[p_codes[exact_mask]] = True
+        in_exact = has_exact[p_codes]
         pdf = pdf[~in_exact | exact_mask]
         if not len(pdf):
             return pdf.drop(columns=drop_cols) if drop_cols else pdf
