@@ -113,23 +113,21 @@ def _fnv_expr(g: str, n: int) -> str:
     return h
 
 
-def b14_classify_sql(per_phrase: bool = False) -> str:
-    """The oracle: rebuild the synthetic KB (shared CTE block with the
-    flagship oracle), featurize every distinct label phrase with the
-    replayed FNV-1a bucket hash, score against the frozen weights in
-    float64, apply softmax + the top1−top2 > margin accept rule, and
-    count accepted rows per predicted class — value-for-value against
-    q_b14_classify's groupBy("cls").count. ``per_phrase=True`` returns
-    the pre-aggregation decisions instead (phrase, predicted cls,
-    top1/top2 probabilities) for the test-side per-row parity check."""
-    from .flagship_sql import kb_synthesis_ctes
-
-    with open(META_JSON) as f:
-        meta = json.load(f)
-    classes, bias = meta["classes"], meta["bias"]
-    nb, k = meta["n_buckets"], len(meta["classes"])
-    assert meta["n_instances"] == B14_N_INSTANCES and meta["epochs"] == B14_EPOCHS
-
+def maxent_decode_ctes(
+    weights_parquet: str,
+    classes: list[int],
+    bias: list[float],
+    nb: int,
+    src_cte: str = "phr",
+) -> str:
+    """Parameterized maxent-decode CTE chain: score every DISTINCT
+    ``phrase`` from ``{src_cte}(phrase, ...)`` against the frozen
+    weight parquet in float64 — FNV-1a hashed 2/3-gram featurize,
+    L2 norm, softmax — ending in ``dec(phrase, p1, p2, j)`` (top-2
+    probabilities + winning column) and ``clsmap(j, cls)``. Shared by
+    the b14 oracle and the micro-pipeline classification oracle
+    (:mod:`scoobie_spark.micro_sql`), which freeze different models."""
+    k = len(classes)
     sums = ", ".join(f"sum(f.c * w.c{j}) AS s{j}" for j in range(k))
     zs = ", ".join(f"s.s{j} / n.nv + {bias[j]!r} AS z{j}" for j in range(k))
     zmax = "greatest(" + ", ".join(f"z{j}" for j in range(k)) + ")"
@@ -137,17 +135,8 @@ def b14_classify_sql(per_phrase: bool = False) -> str:
     etot = " + ".join(f"e{j}" for j in range(k))
     plist = "[" + ", ".join(f"e{j} / ({etot})" for j in range(k)) + "]"
     clsmap = ", ".join(f"({j + 1}, CAST({c} AS BIGINT))" for j, c in enumerate(classes))
-
-    return f"""
-WITH
-{kb_synthesis_ctes(B14_N_INSTANCES)},
-w AS MATERIALIZED (SELECT * FROM '{WEIGHTS_PARQUET}'),
--- q_b14 phrase rows: DISTINCT (subject, label literal)
-phr AS (
-  SELECT DISTINCT st.subject AS doc_id, l.literal AS phrase
-  FROM symtab st JOIN litid l ON l.lit_id = st.lit_id
-),
-ptxt AS (SELECT DISTINCT phrase, '^' || lower(phrase) || '$' AS t FROM phr),
+    return f"""w AS MATERIALIZED (SELECT * FROM '{weights_parquet}'),
+ptxt AS (SELECT DISTINCT phrase, '^' || lower(phrase) || '$' AS t FROM {src_cte}),
 -- hashed char-ngram bag (classify._featurize): FNV-1a of each 2/3-gram
 g2 AS (SELECT phrase, substring(t, CAST(i AS INTEGER), 2) AS g
        FROM ptxt, unnest(generate_series(1, length(t) - 1)) AS u(i)),
@@ -172,7 +161,35 @@ dec AS (
          list_position({plist}, list_sort({plist}, 'DESC')[1]) AS j
   FROM sm
 ),
-clsmap(j, cls) AS (VALUES {clsmap})
+clsmap(j, cls) AS (VALUES {clsmap})"""
+
+
+def b14_classify_sql(per_phrase: bool = False) -> str:
+    """The oracle: rebuild the synthetic KB (shared CTE block with the
+    flagship oracle), featurize every distinct label phrase with the
+    replayed FNV-1a bucket hash, score against the frozen weights in
+    float64, apply softmax + the top1−top2 > margin accept rule, and
+    count accepted rows per predicted class — value-for-value against
+    q_b14_classify's groupBy("cls").count. ``per_phrase=True`` returns
+    the pre-aggregation decisions instead (phrase, predicted cls,
+    top1/top2 probabilities) for the test-side per-row parity check."""
+    from .flagship_sql import kb_synthesis_ctes
+
+    with open(META_JSON) as f:
+        meta = json.load(f)
+    classes, bias = meta["classes"], meta["bias"]
+    nb = meta["n_buckets"]
+    assert meta["n_instances"] == B14_N_INSTANCES and meta["epochs"] == B14_EPOCHS
+
+    return f"""
+WITH
+{kb_synthesis_ctes(B14_N_INSTANCES)},
+-- q_b14 phrase rows: DISTINCT (subject, label literal)
+phr AS (
+  SELECT DISTINCT st.subject AS doc_id, l.literal AS phrase
+  FROM symtab st JOIN litid l ON l.lit_id = st.lit_id
+),
+{maxent_decode_ctes(WEIGHTS_PARQUET, classes, bias, nb)}
 {"SELECT dec.phrase, m.cls AS cls, dec.p1, dec.p2 FROM dec JOIN clsmap m ON m.j = dec.j"
  if per_phrase else
  f'''SELECT m.cls AS cls, count(*) AS n_accepted

@@ -274,23 +274,20 @@ symtab AS MATERIALIZED (  -- (subject, prop, lit): every label symbol
 )"""
 
 
-def flagship_oracle_sql(
-    n_instances: int = 200,
-    giant_repo_fraction: int = 3,
-    src_docs: str = "documents",
-    resolver: str = "degree",
+def corpus_ctes(
+    n: int, giant_repo_fraction: int = 3, src_docs: str = "documents"
 ) -> str:
-    n = n_instances
-
+    """CTE block replaying ``fixtures.synth_corpus`` + the chained
+    3-column xxhash64 doc id (``textproc.with_doc_id``) over the given
+    source docs table → ``docs(doc_id, content)``. Shared by the
+    flagship oracle and the micro-pipeline classification oracle
+    (:mod:`scoobie_spark.micro_sql`)."""
     # --- doc_id = xxhash64(repo, path, commit), chained ----------------
     x1, f1 = xxh64_string_ctes("x1", "corp", "repo", "path, commit_c, content")
     x2, f2 = xxh64_string_ctes("x2", f1, "path", "commit_c, content", seed="h")
     x3, f3 = xxh64_string_ctes("x3", f2, "commit_c", "content", seed="h")
 
-    return f"""
-WITH RECURSIVE
-{kb_synthesis_ctes(n)},
--- ====================== corpus synthesis (fixtures.synth_corpus) =====
+    return f"""-- ====================== corpus synthesis (fixtures.synth_corpus) =====
 corp0 AS (
   SELECT d.doc_id AS k, d.text,
          l1.label AS label1,
@@ -322,7 +319,20 @@ corp AS MATERIALIZED (
 {x1}, {x2}, {x3},
 docs AS MATERIALIZED (
   SELECT {_signed64('h')} AS doc_id, content FROM {f3}
-),
+)"""
+
+
+def flagship_oracle_sql(
+    n_instances: int = 200,
+    giant_repo_fraction: int = 3,
+    src_docs: str = "documents",
+    resolver: str = "degree",
+) -> str:
+    n = n_instances
+    return f"""
+WITH RECURSIVE
+{kb_synthesis_ctes(n)},
+{corpus_ctes(n, giant_repo_fraction, src_docs)},
 {_engine_ctes(resolver)}
 {_TRIPLES_TAIL}"""
 
@@ -429,14 +439,14 @@ FROM docs d LEFT JOIN assembled a USING (doc_id)
 """
 
 
-def _engine_ctes(resolver: str) -> str:
-    """The pipeline-engine CTE chain (B7-B21): spotting, span filters,
-    disambiguation → ``resolved``. Expects upstream CTEs ``docs(doc_id,
-    content)``, ``litid(literal, lit_id)``, ``symtab(subject, prop_id,
-    lit_id)``, ``rel``/``rel_nt``/``tid``/``urid`` — any fixture
-    front-end (synthetic corpus or the micro VALUES fixture) composes
-    with any serializer tail."""
-    score_ctes = _RESOLVER_SCORE_SQL[resolver]()
+def spot_component_ctes() -> str:
+    """The B7-B16 CTE chain: spotting, span filters, bipartite phrase
+    edges, per-doc weak components, ambiguous-component views. Expects
+    upstream CTEs ``docs(doc_id, content)``, ``litid(literal,
+    lit_id)``, ``symtab(subject, prop_id, lit_id)``. Shared by the
+    flagship/resolver oracles (via :func:`_engine_ctes`) and the
+    micro-pipeline classification oracle, whose resolver consumes the
+    components but not the KB-expansion graph."""
     return f"""-- ====================== B7-B9: spotting =============================
 -- mention at 0-based begin iff: token start (prev char not word-class,
 -- SuffixArray token semantics for an alnum head), alnum head, and
@@ -527,7 +537,18 @@ amb_comp AS MATERIALIZED (  -- components with ≥2 candidate subjects
 amb_subj AS MATERIALIZED (
   SELECT c.doc_id, c.v AS subject, c.component
   FROM comp c JOIN amb_comp a USING (doc_id, component) WHERE c.v >= 0
-),
+)"""
+
+
+def _engine_ctes(resolver: str) -> str:
+    """The pipeline-engine CTE chain (B7-B21): spotting, span filters,
+    disambiguation → ``resolved``. Expects upstream CTEs ``docs(doc_id,
+    content)``, ``litid(literal, lit_id)``, ``symtab(subject, prop_id,
+    lit_id)``, ``rel``/``rel_nt``/``tid``/``urid`` — any fixture
+    front-end (synthetic corpus or the micro VALUES fixture) composes
+    with any serializer tail."""
+    score_ctes = _RESOLVER_SCORE_SQL[resolver]()
+    return f"""{spot_component_ctes()},
 ds AS MATERIALIZED (SELECT DISTINCT doc_id, subject FROM f12),
 kept AS MATERIALIZED (  -- anchor-guarded expansion edges, set semantics
   SELECT DISTINCT doc_id, s, o FROM (

@@ -2215,12 +2215,6 @@ def oracle_sql() -> dict[str, str]:
         # (see the SQL_B24_CF_EVAL header for why the float numpy path
         # is integer-decidable on this input)
         "b24_cf_eval": SQL_B24_CF_EVAL,
-        # rows-only (not ANSI-SQL-expressible): ann_ivf_topk
-        # (numpy-seeded k-means quantizer — its FLAT twin ann_ivf_flat
-        # carries the value oracle for the IVF machinery) and
-        # micro_pipeline_classification (the full spot→link→classify
-        # composition; its maxent DECODE is oracled via b14_classify
-        # below, and its graph legs via the flagship oracle)
     }
     # The TRAINED B5/B6 perceptron decode replays exactly in SQL
     # (integer weights → exact greedy argmax chain; perceptron_sql.py
@@ -2249,4 +2243,23 @@ def oracle_sql() -> dict[str, str]:
 
     if b14_sql_available():
         d["b14_classify"] = b14_classify_sql()
+
+    # And for the k-means IVF ANN search (frozen centroid artifact +
+    # float64 DuckDB replay; ivf_sql.py has the slack argument for why
+    # the float32/float64 split cannot flip cell decisions on the
+    # sf0.01 corpus — the driver's correctness scale, which the
+    # artifact is trained on).
+    from .ivf_sql import ann_ivf_sql, ivf_sql_available
+
+    if ivf_sql_available():
+        d["ann_ivf_topk"] = ann_ivf_sql()
+
+    # And for the full spot→link→classify micro pipeline — the last
+    # rows-only row: flagship spotting/component CTEs + frozen A14
+    # clusters + frozen maxent weights + the classification-resolver
+    # keep/drop rule (micro_sql.py has the slack argument).
+    from .micro_sql import micro_pipeline_sql, micro_sql_available
+
+    if micro_sql_available():
+        d["micro_pipeline_classification"] = micro_pipeline_sql()
     return d
