@@ -16,8 +16,10 @@ needed (the image ships none), pure DataFrame joins.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -70,7 +72,54 @@ def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
+def _is_integral(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.typeName() in (
+        "long", "integer", "short", "byte"
+    )
+
+
+def _cc_local(spark, nodes: DataFrame, e: DataFrame) -> DataFrame:
+    """Driver-side contraction for sub-threshold graphs: min-label
+    propagation with pointer jumping over factorized int64 node codes
+    (the same numpy kernel as resolve_batch's per-batch B17, proven
+    there by randomized differential tests). Labels only ever decrease
+    and ``np.unique`` sorts, so code order == value order and the fixed
+    point is exactly (node → min node id of its component) — identical
+    output to the distributed star-contraction."""
+    import numpy as np
+
+    node_dt = nodes.schema["node"].dataType
+    ep = e.toPandas()
+    np_nodes = nodes.toPandas()["node"].to_numpy(dtype=np.int64)
+    u = ep["u"].to_numpy(dtype=np.int64)
+    v = ep["v"].to_numpy(dtype=np.int64)
+    uniq, codes = np.unique(np.concatenate([np_nodes, u, v]), return_inverse=True)
+    nn = len(np_nodes)
+    cu, cv = codes[nn:nn + len(u)], codes[nn + len(u):]
+    lbl = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        prev = lbl
+        m = np.minimum(lbl[cu], lbl[cv])
+        lbl = lbl.copy()
+        np.minimum.at(lbl, cu, m)
+        np.minimum.at(lbl, cv, m)
+        lbl = lbl[lbl]
+        lbl = lbl[lbl]
+        if np.array_equal(lbl, prev):
+            break
+    node_codes = codes[:nn]
+    out = pd.DataFrame(
+        {"node": np_nodes, "component": uniq[lbl[node_codes]]}
+    )
+    schema = T.StructType(
+        [T.StructField("node", node_dt), T.StructField("component", node_dt)]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 40, local_threshold: int = 1 << 20
+) -> DataFrame:
     """(src, dst) → (node, component) with component = min node id.
 
     Real alternating large-star/small-star (Kiveris et al., "Connected
@@ -83,15 +132,34 @@ def connected_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
     detected by an (edge count, hash sum) fingerprint, and running out
     of ``max_iter`` RAISES rather than silently returning partial
     components.
+
+    Small graphs take a driver-side numpy contraction instead: each
+    distributed round costs several fixed-overhead jobs (two self-join
+    shuffles + fingerprint + lineage cut), which dominates wall-time
+    when the deduped edge set is tiny — the same size-vs-strategy
+    policy as Spark's broadcast-join threshold. The gate is measured,
+    not guessed: the canonical edge count comes from the fingerprint
+    the distributed loop needs anyway, and the node count from the
+    already-materialized node set, so the probe adds one cheap count.
+    At ``local_threshold`` = 2^20 the collect moves ≤ ~16 MB of int64
+    pairs — broadcast-scale, not corpus-scale; a 100 TB near-dup graph
+    (billions of edges) takes the distributed path unchanged. Pass
+    ``local_threshold=0`` to force the distributed contraction (the
+    scale-path tests do).
     """
+    # cut lineage at the smallest projection of the RAW edges first:
+    # nodes and the canonical edge set are both derived from it, so the
+    # (possibly expensive) upstream plan — e.g. a near-dup pair
+    # generator — executes exactly once instead of once per derivation
+    base = edges.select("src", "dst").localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        base.select(F.col("src").alias("node"))
+        .unionByName(base.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     e = (
-        edges.filter(F.col("src") != F.col("dst"))
+        base.filter(F.col("src") != F.col("dst"))
         .select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
@@ -99,6 +167,10 @@ def connected_components(edges: DataFrame, max_iter: int = 40) -> DataFrame:
         .localCheckpoint()
     )
     fp = _edge_fingerprint(e)
+    if local_threshold and fp[0] <= local_threshold and _is_integral(edges, "src"):
+        n_nodes = nodes.count()
+        if n_nodes <= 2 * local_threshold:
+            return _cc_local(edges.sparkSession, nodes, e)
     for _ in range(max_iter):
         prev = e
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -15,17 +15,28 @@ def edges(spark):
     )
 
 
-def test_connected_components(spark, edges):
-    cc = {(r["node"], r["component"]) for r in graph.connected_components(edges).collect()}
+LOCAL_OR_DIST = pytest.mark.parametrize(
+    "thr", [1 << 20, 0], ids=["local", "distributed"]
+)
+
+
+@LOCAL_OR_DIST
+def test_connected_components(spark, edges, thr):
+    cc = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(edges, local_threshold=thr).collect()
+    }
     assert cc == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
-def test_connected_components_long_chain(spark):
+@LOCAL_OR_DIST
+def test_connected_components_long_chain(spark, thr):
     """100-hop path: the star-contraction rounds must close it exactly
     (plain min-label propagation would need 100 rounds and silently
-    return wrong components at max_iter=20 — the round-1 bug)."""
+    return wrong components at max_iter=20 — the round-1 bug). The
+    local kernel's pointer jumping must close it too."""
     e = spark.createDataFrame([(i, i + 1) for i in range(100)], "src long, dst long")
-    cc = graph.connected_components(e)
+    cc = graph.connected_components(e, local_threshold=thr)
     rows = {(r["node"], r["component"]) for r in cc.collect()}
     assert rows == {(i, 0) for i in range(101)}
 
@@ -33,15 +44,19 @@ def test_connected_components_long_chain(spark):
 def test_connected_components_nonconvergence_raises(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(50)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        graph.connected_components(e, max_iter=1)
+        graph.connected_components(e, max_iter=1, local_threshold=0)
 
 
-def test_connected_components_reversed_and_shuffled_edges(spark):
+@LOCAL_OR_DIST
+def test_connected_components_reversed_and_shuffled_edges(spark, thr):
     # direction and order must not matter; self-loops ignored
     e = spark.createDataFrame(
         [(7, 3), (3, 9), (9, 9), (2, 7), (50, 40)], "src long, dst long"
     )
-    cc = {(r["node"], r["component"]) for r in graph.connected_components(e).collect()}
+    cc = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(e, local_threshold=thr).collect()
+    }
     assert cc == {(2, 2), (3, 2), (7, 2), (9, 2), (40, 40), (50, 40)}
 
 
@@ -68,9 +83,11 @@ def test_hits(spark):
     assert h[2][1] == pytest.approx(h[3][1]) == pytest.approx(h[4][1])
 
 
-def test_connected_components_random_vs_union_find(spark):
+@LOCAL_OR_DIST
+def test_connected_components_random_vs_union_find(spark, thr):
     """Differential: 20 random graphs vs a python union-find oracle —
-    exact (node → min-node-of-component) maps must match."""
+    exact (node → min-node-of-component) maps must match, on both the
+    local numpy kernel and the distributed star-contraction."""
     import random
 
     random.seed(23)
@@ -101,7 +118,7 @@ def test_connected_components_random_vs_union_find(spark):
         e = spark.createDataFrame(es, "src long, dst long")
         got = {
             r["node"]: r["component"]
-            for r in graph.connected_components(e).collect()
+            for r in graph.connected_components(e, local_threshold=thr).collect()
         }
         assert got == want, (trial, es)
 
