@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_survivors",
+    "dedup_segments",
     "quality_scores",
     "quality_repetition",
     "sample_split",

@@ -628,3 +628,71 @@ def survivors(docs: DataFrame, pairs: DataFrame, key: str = "doc_id") -> DataFra
         )
         .withColumn("is_survivor", F.col("doc_id") == F.col("keeper_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate-span (segment) removal
+# --------------------------------------------------------------------------
+
+def segment_dedup(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    words_per_seg: int = 15,
+) -> DataFrame:
+    """C4-style duplicate-span removal: split every document into
+    fixed-length word segments, drop each segment whose exact text
+    already occurred anywhere in the corpus (global first occurrence by
+    (doc_id, position) wins — within-doc repeats drop too), and
+    reassemble the survivors. This is the span-granular complement to
+    doc-level dedup: boilerplate shared by otherwise-distinct pages
+    (headers, license blocks, quoted passages) is removed without
+    discarding the documents.
+
+    Returns (doc_id, clean_text, n_segments, n_dropped) for every
+    input doc. NULL text follows the family's NULL-as-empty contract
+    (one empty segment; empty docs dedup against each other).
+
+    Scale shape: the explode is ×(n_words/words_per_seg) rows but each
+    carries one segment of the text, so total shuffled bytes track the
+    corpus size, keyed by sha256(segment). First-occurrence selection
+    is groupBy(hash).agg(min(struct)) + an equi-join back — min is
+    algebraic, so the hot-key case (a segment duplicated 10^8 times at
+    100 TB) combines map-side instead of sorting in one task the way a
+    window would; the join back is an AQE-skew-splittable equi-join.
+    """
+    toks = F.split(F.coalesce(F.col(text), F.lit("")), " ")
+    k = F.lit(words_per_seg)
+    n_seg = F.ceil(F.size(toks) / k).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, words_per_seg), " "),
+    )
+    seg_rows = docs.select(
+        F.col(key).alias("doc_id"), F.posexplode(segs).alias("pos", "seg")
+    ).withColumn("h", F.sha2("seg", 256))
+    firsts = seg_rows.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = seg_rows.join(firsts, "h").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_first"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("is_first"), 0).otherwise(1)).cast("long").alias(
+            "n_dropped"
+        ),
+    )

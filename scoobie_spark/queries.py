@@ -1682,6 +1682,42 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 
 
+def q_dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style duplicate-span removal: fixed 15-word segments, global
+    first occurrence by (doc_id, pos) survives, documents reassembled
+    from their surviving segments. The engine keys the first-occurrence
+    aggregation by sha256(segment) (the 100 TB shuffle shape) while the
+    oracle groups by the segment TEXT, so the differential also guards
+    the hash shortcut — same pattern as ``decontaminate``."""
+    d = _T(spark, sf, "documents")
+    return dedup.segment_dedup(d, words_per_seg=15)
+
+
+SQL_DEDUP_SEGMENTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+), segs0 AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(ceil(len(w)/15.0) AS BIGINT))) AS i
+  FROM toks
+), segs AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(w[i*15+1 : i*15+15], ' ') AS seg
+  FROM segs0
+), ranked AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos),
+                '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary multimodal columns: deterministic synthetic media
     + Arrow-batched decode-stub feature extraction (real plumbing,
@@ -2122,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_components": q_b17_components,
         "b17_cc_jaccard": q_b17_cc_jaccard,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_segments": q_dedup_segments,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "resolver_pagerank": q_resolver_pagerank,
@@ -2188,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN,
         "b17_cc_jaccard": SQL_B17_CC,
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
+        "dedup_segments": SQL_DEDUP_SEGMENTS,
         "text_fingerprints": SQL_FINGERPRINTS,
         "dedup_simhash": SQL_SIMHASH,
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,

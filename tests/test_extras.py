@@ -432,6 +432,42 @@ def test_zero_norm_embeddings_do_not_crash(spark):
     assert all(r["a"] != 6 and r["b"] != 6 for r in near)  # zero vec never a dup
 
 
+def test_segment_dedup(spark):
+    # doc 2 shares doc 1's first 15-word segment; doc 1 is untouched
+    # (unique text reassembles identically); NULL texts are one empty
+    # segment deduping against each other; within-corpus first
+    # occurrence is by (doc_id, pos)
+    seg1 = "a b c d e f g h i j k l m n o"
+    rows = [
+        (1, seg1 + " p q r s t"),
+        (2, seg1 + " x y z"),
+        (3, None),
+        (4, None),
+        (5, "unique words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_dropped"])
+        for r in dedup.segment_dedup(df).collect()
+    }
+    assert out[1] == (seg1 + " p q r s t", 2, 0)
+    assert out[2] == ("x y z", 2, 1)
+    assert out[3] == ("", 1, 0)
+    assert out[4] == ("", 1, 1)
+    assert out[5] == ("unique words only here nothing shared at all", 1, 0)
+
+
+def test_segment_dedup_reassembly_identity(spark):
+    # corpus with no repeated segment: clean_text == text for every doc
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(37))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(df).collect()}
+    for i, text in rows:
+        assert out[i]["clean_text"] == text
+        assert out[i]["n_segments"] == 3  # ceil(37/15)
+        assert out[i]["n_dropped"] == 0
+
+
 def test_dedup_survivors_transitive(spark):
     # a~b and b~c but never a~c: the cluster must still collapse to one
     # keeper (transitive closure), and the unpaired doc keeps itself

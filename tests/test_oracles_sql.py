@@ -62,6 +62,7 @@ def _rows(df_rows, cols):
         "b6_noun_phrases_trained",
         "token_phrase_frequency",
         "dedup_survivors",
+        "dedup_segments",
     ],
 )
 def test_derived_oracle_matches(spark, name):
