@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_survivors",
     "dedup_segments",
+    "dsir_select",
     "quality_scores",
     "quality_repetition",
     "sample_split",

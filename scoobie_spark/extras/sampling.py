@@ -54,3 +54,122 @@ def hash_sample(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     thr = int(round(rate * buckets))
     return df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)) < thr)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance selection
+# --------------------------------------------------------------------------
+
+def _grams(text: str):
+    """Lowercased word unigrams + space-joined bigrams, split on a
+    single space (the family's NULL-as-empty contract: NULL text is the
+    one-element [''] token list)."""
+    toks = F.split(F.lower(F.coalesce(F.col(text), F.lit(""))), " ")
+    n = F.size(toks)
+    bi = F.transform(
+        F.slice(toks, 1, F.greatest(n - F.lit(1), F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    return F.concat(toks, bi)
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 7,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit
+    hashed-ngram bag models over a target corpus and the raw corpus,
+    score every raw document by its importance log-ratio, and select k
+    documents by Gumbel-top-k (sampling without replacement ∝ the
+    softmax of the scores, made deterministic by a hash-seeded uniform).
+
+    Determinism/parity design: bucket weights are snapped to integer
+    MICRO-units (round(log-ratio · 10^6) as long), so the per-document
+    score is an exact integer sum — order-independent under Spark's
+    nondeterministic partial-aggregation order and replayable
+    value-for-value in SQL. The Gumbel noise derives from
+    pmod(xxhash64(key, seed), 2^20) — the same bit-replayable RNG as
+    ``hash_split``.
+
+    Returns (doc_id, score_micro, sel_micro, selected) for EVERY raw
+    doc. Scale shape: gram explode → groupBy(bucket) counts (map-side
+    combinable, ≤ n_buckets result rows), weights broadcast back, and
+    the top-k is orderBy+limit — Spark's distributed TakeOrdered, not a
+    single-partition window sort.
+    """
+    import math
+
+    B = n_buckets
+
+    def bucket(gcol):
+        return F.pmod(F.xxhash64(gcol), F.lit(B))
+
+    # ONE gram pass over the raw corpus: per-(doc, bucket) counts feed
+    # the raw bag model, the per-doc scores, AND the totals. The target
+    # corpus gets its own (usually much smaller) pass — it need not be
+    # a subset of ``docs``.
+    doc_b = (
+        docs.select(F.col(key).alias("doc_id"), F.explode(_grams(text)).alias("g"))
+        .groupBy("doc_id", bucket(F.col("g")).alias("b"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    t_cnt = (
+        target.select(F.explode(_grams(text)).alias("g"))
+        .groupBy(bucket(F.col("g")).alias("b"))
+        .agg(F.count("*").alias("tc"))
+        .localCheckpoint()
+    )
+    r_cnt = doc_b.groupBy("b").agg(F.sum("c").alias("rc")).localCheckpoint()
+    T = t_cnt.agg(F.sum("tc")).first()[0] or 0
+    R = r_cnt.agg(F.sum("rc")).first()[0] or 0
+    denom = math.log(T + alpha * B) - math.log(R + alpha * B)
+    w = (
+        t_cnt.join(r_cnt, "b", "full")
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+                    - F.log(F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
+                    - F.lit(denom)
+                )
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("w_micro"),
+        )
+    )
+    scores = (
+        doc_b.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w_micro")).alias("score_micro"))
+    )
+    M = 1 << 20
+    u = (
+        F.pmod(
+            F.xxhash64(F.col("doc_id"), F.lit(seed).cast("long")), F.lit(M)
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(M))
+    gum = F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("long")
+    sel = scores.withColumn("sel_micro", F.col("score_micro") + gum)
+    topk = (
+        sel.orderBy(F.col("sel_micro").desc(), F.col("doc_id"))
+        .limit(k)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return (
+        sel.join(topk, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_micro",
+            "sel_micro",
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+    )

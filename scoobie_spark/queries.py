@@ -1718,6 +1718,100 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance selection (hashed unigram+bigram bag
+    models, target = the English slice of the corpus, Gumbel-top-k
+    100 of 500 docs). Fully value-oracled: bucket weights snap to
+    integer micro-units so document scores are exact integer sums; the
+    gram buckets and the Gumbel uniform replay through the bit-exact
+    xxhash64 SQL twins (string + chained-long legs)."""
+    from .extras.sampling import dsir_select
+
+    d = _T(spark, sf, "documents")
+    return dsir_select(d, d.filter(F.col("lang") == "en"), k=100)
+
+
+def _sql_dsir() -> str:
+    from .xxh64_sql import hashlong_sql, xxh64_string_ctes
+
+    ctes, final = xxh64_string_ctes("xg", "dg", "g", "g")
+
+    def signed(e: str) -> str:
+        return (
+            f"CAST(CASE WHEN {e} >= 9223372036854775808 THEN CAST({e} AS HUGEINT)"
+            f" - 18446744073709551616 ELSE CAST({e} AS HUGEINT) END AS BIGINT)"
+        )
+
+    a0, a1, a2, a3, a4, a5, af = hashlong_sql("ux", "42")
+    b0, b1, b2, b3, b4, b5, bf = hashlong_sql("CAST(7 AS UBIGINT)", "h1u")
+    return f"""
+WITH toksr AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w FROM documents
+), gramsr AS (
+  SELECT doc_id, w[i] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM toksr)
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toksr)
+), gramst AS (
+  SELECT gr.doc_id, gr.g
+  FROM gramsr gr JOIN documents d ON d.doc_id = gr.doc_id AND d.lang = 'en'
+), dg AS (SELECT DISTINCT g FROM gramsr),
+{ctes}, gbucket AS (
+  SELECT g, (({signed('h')} % 4096) + 4096) % 4096 AS b FROM {final}
+), rcnt AS (
+  SELECT b, count(*) AS rc FROM gramsr JOIN gbucket USING (g) GROUP BY b
+), tcnt AS (
+  SELECT b, count(*) AS tc FROM gramst JOIN gbucket USING (g) GROUP BY b
+), tot AS (
+  SELECT (SELECT sum(rc) FROM rcnt) AS xr,
+         (SELECT coalesce(sum(tc), 0) FROM tcnt) AS xt
+), wts AS (
+  SELECT coalesce(r.b, t.b) AS b,
+         CAST(round((ln(coalesce(tc, 0) + 1.0) - ln(coalesce(rc, 0) + 1.0)
+              - (ln(xt + 4096.0) - ln(xr + 4096.0))) * 1000000.0) AS BIGINT)
+           AS w_micro
+  FROM rcnt r FULL JOIN tcnt t ON r.b = t.b, tot
+), docb AS (
+  SELECT doc_id, b, count(*) AS c FROM gramsr JOIN gbucket USING (g) GROUP BY 1, 2
+), scores AS (
+  SELECT doc_id, sum(c * w_micro) AS score_micro FROM docb JOIN wts USING (b) GROUP BY 1
+), u0 AS (
+  SELECT doc_id, score_micro,
+         CAST(CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(doc_id AS HUGEINT) END AS UBIGINT) AS ux
+  FROM scores
+),
+ha0 AS (SELECT doc_id, score_micro, {a0} AS g0 FROM u0),
+ha1 AS (SELECT *, {a1} AS g1 FROM ha0),
+ha2 AS (SELECT *, {a2} AS g2 FROM ha1),
+ha3 AS (SELECT *, {a3} AS g3 FROM ha2),
+ha4 AS (SELECT *, {a4} AS g4 FROM ha3),
+ha5 AS (SELECT *, {a5} AS g5 FROM ha4),
+h1 AS (SELECT doc_id, score_micro, {af} AS h1u FROM ha5),
+hb0 AS (SELECT doc_id, score_micro, h1u, {b0} AS g0 FROM h1),
+hb1 AS (SELECT *, {b1} AS g1 FROM hb0),
+hb2 AS (SELECT *, {b2} AS g2 FROM hb1),
+hb3 AS (SELECT *, {b3} AS g3 FROM hb2),
+hb4 AS (SELECT *, {b4} AS g4 FROM hb3),
+hb5 AS (SELECT *, {b5} AS g5 FROM hb4),
+gu AS (
+  SELECT doc_id, score_micro,
+         (({signed(bf)} % 1048576) + 1048576) % 1048576 AS bk
+  FROM hb5
+), sel AS (
+  SELECT doc_id, score_micro,
+         score_micro + CAST(round(
+           -ln(-ln((CAST(bk AS DOUBLE) + 0.5) / 1048576.0)) * 1000000.0
+         ) AS BIGINT) AS sel_micro
+  FROM gu
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY sel_micro DESC, doc_id) AS rn FROM sel
+)
+SELECT doc_id, score_micro, sel_micro, rn <= 100 AS selected FROM ranked
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary multimodal columns: deterministic synthetic media
     + Arrow-batched decode-stub feature extraction (real plumbing,
@@ -2159,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_cc_jaccard": q_b17_cc_jaccard,
         "dedup_survivors": q_dedup_survivors,
         "dedup_segments": q_dedup_segments,
+        "dsir_select": q_dsir_select,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "resolver_pagerank": q_resolver_pagerank,
@@ -2226,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         "b17_cc_jaccard": SQL_B17_CC,
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,
+        "dsir_select": _sql_dsir(),
         "text_fingerprints": SQL_FINGERPRINTS,
         "dedup_simhash": SQL_SIMHASH,
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,

@@ -468,6 +468,34 @@ def test_segment_dedup_reassembly_identity(spark):
         assert out[i]["n_dropped"] == 0
 
 
+def test_dsir_select_prefers_target_like_docs(spark):
+    from scoobie_spark.extras import sampling
+
+    # two vocabularies; target corpus speaks A — raw docs speaking A
+    # must outscore docs speaking B, and the selection must skew to A
+    voc_a = ["alpha", "beta", "gamma", "delta"]
+    voc_b = ["uno", "dos", "tres", "cuatro"]
+    rows = []
+    for i in range(40):
+        voc = voc_a if i % 2 == 0 else voc_b
+        rows.append((i, " ".join(voc[(i + j) % 4] for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).limit(10)
+    out = {r["doc_id"]: r for r in sampling.dsir_select(docs, target, k=10).collect()}
+    assert len(out) == 40 and sum(r["selected"] for r in out.values()) == 10
+    a_scores = [out[i]["score_micro"] for i in range(0, 40, 2)]
+    b_scores = [out[i]["score_micro"] for i in range(1, 40, 2)]
+    assert min(a_scores) > max(b_scores)
+    sel_a = sum(1 for i in range(0, 40, 2) if out[i]["selected"])
+    assert sel_a >= 8  # Gumbel noise may admit a stray B doc, not many
+
+    # deterministic: exact same output on a second run
+    again = {r["doc_id"]: r for r in sampling.dsir_select(docs, target, k=10).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
 def test_dedup_survivors_transitive(spark):
     # a~b and b~c but never a~c: the cluster must still collapse to one
     # keeper (transitive closure), and the unpaired doc keeps itself

@@ -63,6 +63,7 @@ def _rows(df_rows, cols):
         "token_phrase_frequency",
         "dedup_survivors",
         "dedup_segments",
+        "dsir_select",
     ],
 )
 def test_derived_oracle_matches(spark, name):
