@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "dedup_segments",
     "dsir_select",
+    "pack_chunks",
     "quality_scores",
     "quality_repetition",
     "sample_split",

@@ -1812,6 +1812,55 @@ SELECT doc_id, score_micro, sel_micro, rn <= 100 AS selected FROM ranked
 """
 
 
+def q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: deterministic
+    hash-shuffled concatenation order, 2048-token context windows,
+    per-doc placement (offset + first/last bin). The engine computes
+    the global running total with the two-phase dense_ids scheme (no
+    single-partition exchange); the oracle replays it as one window
+    cumsum over the bit-exact xxhash64-ordered stream."""
+    from .extras.packing import pack_chunks
+
+    d = _T(spark, sf, "documents")
+    return pack_chunks(d, cap=2048)
+
+
+def _sql_pack_chunks() -> str:
+    from .xxh64_sql import hashlong_sql
+
+    g0, g1, g2, g3, g4, g5, gf = hashlong_sql("ux", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT)"
+        f" - 18446744073709551616 ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(doc_id AS HUGEINT) END AS UBIGINT) AS ux
+  FROM documents
+),
+h0 AS (SELECT doc_id, n_tokens, {g0} AS g0 FROM t),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+h4 AS (SELECT *, {g4} AS g4 FROM h3),
+h5 AS (SELECT *, {g5} AS g5 FROM h4),
+o AS (SELECT doc_id, n_tokens, {signed} AS ord FROM h5),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY ord, doc_id) - n_tokens AS tok_start
+  FROM o
+)
+SELECT doc_id, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // 2048 AS BIGINT) AS bin_first,
+       CAST((tok_start + n_tokens - 1) // 2048 AS BIGINT) AS bin_last
+FROM c
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Opaque-binary multimodal columns: deterministic synthetic media
     + Arrow-batched decode-stub feature extraction (real plumbing,
@@ -2254,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_segments": q_dedup_segments,
         "dsir_select": q_dsir_select,
+        "pack_chunks": q_pack_chunks,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "resolver_pagerank": q_resolver_pagerank,
@@ -2322,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,
         "dsir_select": _sql_dsir(),
+        "pack_chunks": _sql_pack_chunks(),
         "text_fingerprints": SQL_FINGERPRINTS,
         "dedup_simhash": SQL_SIMHASH,
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,

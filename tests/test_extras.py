@@ -496,6 +496,55 @@ def test_dsir_select_prefers_target_like_docs(spark):
     }
 
 
+def test_pack_chunks(spark):
+    from scoobie_spark.extras import packing
+
+    rows = [(i, " ".join(f"t{j}" for j in range(5 + i))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        ((r["tok_start"], r["doc_id"], r["n_tokens"], r["bin_first"], r["bin_last"])
+         for r in packing.pack_chunks(docs, cap=16).collect())
+    )
+    # the stream is gapless and covers every doc once
+    assert len(out) == 20
+    pos = 0
+    for tok_start, _, n, b_first, b_last in out:
+        assert tok_start == pos
+        assert b_first == pos // 16
+        assert b_last == (pos + n - 1) // 16
+        pos += n
+    assert pos == sum(5 + i for i in range(20))
+
+    # partition-count independence: identical placement whatever the
+    # input partitioning or the two-phase range width
+    a = {r["doc_id"]: tuple(r) for r in packing.pack_chunks(docs, cap=16).collect()}
+    b = {
+        r["doc_id"]: tuple(r)
+        for r in packing.pack_chunks(docs.repartition(32), cap=16).collect()
+    }
+    assert a == b
+    import pyspark.sql.functions as SF
+
+    base = docs.select(
+        "doc_id",
+        SF.size(SF.split("text", " ")).cast("long").alias("n_tokens"),
+        SF.xxhash64("doc_id").alias("_ord"),
+    )
+    c2 = {
+        r["doc_id"]: r["_cum_before"]
+        for r in packing.running_total(
+            base, "n_tokens", ["_ord", "doc_id"], num_partitions=2
+        ).collect()
+    }
+    c32 = {
+        r["doc_id"]: r["_cum_before"]
+        for r in packing.running_total(
+            base, "n_tokens", ["_ord", "doc_id"], num_partitions=32
+        ).collect()
+    }
+    assert c2 == c32
+
+
 def test_dedup_survivors_transitive(spark):
     # a~b and b~c but never a~c: the cluster must still collapse to one
     # keeper (transitive closure), and the unpaired doc keeps itself

@@ -64,6 +64,7 @@ def _rows(df_rows, cols):
         "dedup_survivors",
         "dedup_segments",
         "dsir_select",
+        "pack_chunks",
     ],
 )
 def test_derived_oracle_matches(spark, name):
