@@ -106,6 +106,10 @@ def dsir_select(
     """
     import math
 
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smooths empty buckets), got {alpha}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
     B = n_buckets
 
     def bucket(gcol):
