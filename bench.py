@@ -110,9 +110,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
     for name in names:
-        _clean()
         best, best_n = None, 0
         for _ in range(runs):
+            _clean()
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()

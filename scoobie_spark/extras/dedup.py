@@ -661,6 +661,8 @@ def segment_dedup(
     100 TB) combines map-side instead of sorting in one task the way a
     window would; the join back is an AQE-skew-splittable equi-join.
     """
+    if words_per_seg <= 0:
+        raise ValueError(f"words_per_seg must be > 0, got {words_per_seg}")
     toks = F.split(F.coalesce(F.col(text), F.lit("")), " ")
     k = F.lit(words_per_seg)
     n_seg = F.ceil(F.size(toks) / k).cast("int")

@@ -33,7 +33,12 @@ def running_total(
     before this row in the total order given by ``order_cols`` — with
     NO single-partition exchange (the weighted twin of
     ``kb.etl.dense_ids``; see its docstring for the two-phase scheme
-    and the localCheckpoint rationale)."""
+    and the localCheckpoint rationale — a change to either copy of the
+    skeleton should be mirrored in the other).
+
+    ``order_cols`` must be a UNIQUE total order (append a key column
+    as tie-break): the in-partition window uses the default RANGE
+    frame, so tied rows would each absorb ALL their peers' weights."""
     spark = df.sparkSession
     if num_partitions:
         n = num_partitions
@@ -86,6 +91,8 @@ def pack_chunks(
     family's single-space split with the NULL-as-empty contract
     (NULL text → the one-element [''] list → 1 token).
     """
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0 tokens, got {cap}")
     n_tok = F.size(F.split(F.coalesce(F.col(text), F.lit("")), " "))
     base = docs.select(
         F.col(key).alias("doc_id"),

@@ -72,9 +72,10 @@ def _edge_fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _is_integral(df: DataFrame, col: str) -> bool:
-    return df.schema[col].dataType.typeName() in (
-        "long", "integer", "short", "byte"
+def _is_integral(df: DataFrame, *cols: str) -> bool:
+    return all(
+        df.schema[c].dataType.typeName() in ("long", "integer", "short", "byte")
+        for c in cols
     )
 
 
@@ -85,12 +86,23 @@ def _cc_local(spark, nodes: DataFrame, e: DataFrame) -> DataFrame:
     there by randomized differential tests). Labels only ever decrease
     and ``np.unique`` sorts, so code order == value order and the fixed
     point is exactly (node → min node id of its component) — identical
-    output to the distributed star-contraction."""
+    output to the distributed star-contraction.
+
+    Returns None (caller falls back to the distributed path) when any
+    collected column arrives as a non-integer pandas dtype: NULL node
+    ids make pandas widen int64 → float64, where NaN would silently
+    become INT64_MIN and ids above 2^53 would lose precision — the
+    distributed path handles both exactly."""
     import numpy as np
 
     node_dt = nodes.schema["node"].dataType
     ep = e.toPandas()
-    np_nodes = nodes.toPandas()["node"].to_numpy(dtype=np.int64)
+    npd = nodes.toPandas()["node"]
+    if not all(
+        np.issubdtype(c.dtype, np.integer) for c in (npd, ep["u"], ep["v"])
+    ):
+        return None
+    np_nodes = npd.to_numpy(dtype=np.int64)
     u = ep["u"].to_numpy(dtype=np.int64)
     v = ep["v"].to_numpy(dtype=np.int64)
     uniq, codes = np.unique(np.concatenate([np_nodes, u, v]), return_inverse=True)
@@ -167,10 +179,16 @@ def connected_components(
         .localCheckpoint()
     )
     fp = _edge_fingerprint(e)
-    if local_threshold and fp[0] <= local_threshold and _is_integral(edges, "src"):
+    if (
+        local_threshold
+        and fp[0] <= local_threshold
+        and _is_integral(edges, "src", "dst")
+    ):
         n_nodes = nodes.count()
         if n_nodes <= 2 * local_threshold:
-            return _cc_local(edges.sparkSession, nodes, e)
+            local = _cc_local(edges.sparkSession, nodes, e)
+            if local is not None:
+                return local
     for _ in range(max_iter):
         prev = e
         e = _small_star(_large_star(e)).localCheckpoint()
