@@ -32,6 +32,9 @@ DEFAULT = [
     # scan; the component side is left to AQE (broadcast when small —
     # it can be corpus-scale at a 100 TB dup rate, so no static hint)
     "dedup_survivors",
+    "dedup_segments",
+    "dsir_select",
+    "pack_chunks",
     "ann_topk",
     "quality_repetition",
     "sample_split",
