@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_segments",
     "dsir_select",
     "pack_chunks",
+    "lm_quality",
     "quality_scores",
     "quality_repetition",
     "sample_split",

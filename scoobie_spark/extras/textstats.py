@@ -307,3 +307,68 @@ def fingerprints(
             )
 
     return cols.mapInPandas(gen, "doc_id long, fingerprint array<long>, fp_count int")
+
+
+def lm_quality(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Model-based quality signal (the CCNet-style LM filter with the
+    in-repo hashed bag model standing in for KenLM): fit a smoothed
+    hashed-unigram+bigram model on the corpus itself and score every
+    document by its negative log-likelihood under it — unusually
+    improbable gram distributions (boilerplate soup, encoding damage,
+    wrong-language fragments) surface as high NLL.
+
+    Same exact-integer design as ``sampling.dsir_select``: per-bucket
+    -ln(p̂) snaps to micro-units, so per-doc sums are exact integers —
+    order-independent and value-replayable in SQL. Returns
+    (doc_id, n_grams, nll_micro, avg_nll_micro) for every doc;
+    ``avg_nll_micro`` is the length-normalized figure to threshold on
+    (integral DIV — consumers needing fractional precision divide the
+    two exact columns themselves).
+
+    Scale shape: one gram explode → per-(doc, bucket) counts (map-side
+    combinable), corpus model derived from the same counts, ≤ n_buckets
+    weight rows broadcast back.
+    """
+    import math
+
+    from .sampling import _grams
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smooths empty buckets), got {alpha}")
+    B = n_buckets
+    doc_b = (
+        docs.select(F.col(key).alias("doc_id"), F.explode(_grams(text)).alias("g"))
+        .groupBy("doc_id", F.pmod(F.xxhash64("g"), F.lit(B)).alias("b"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    c_b = doc_b.groupBy("b").agg(F.sum("c").alias("cb")).localCheckpoint()
+    total = c_b.agg(F.sum("cb")).first()[0] or 0
+    log_denom = math.log(total + alpha * B)
+    w = c_b.select(
+        "b",
+        F.round(
+            (F.lit(log_denom) - F.log(F.col("cb") + F.lit(alpha)))
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("w_micro"),
+    )
+    return (
+        doc_b.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("w_micro")).alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "nll_micro",
+            F.expr("nll_micro DIV n_grams").alias("avg_nll_micro"),
+        )
+    )

@@ -1812,6 +1812,56 @@ SELECT doc_id, score_micro, sel_micro, rn <= 100 AS selected FROM ranked
 """
 
 
+def q_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style model-based quality signal: per-doc negative
+    log-likelihood under a smoothed hashed unigram+bigram bag model fit
+    on the corpus itself. Exact-integer micro-unit design (the
+    dsir_select pattern) — the oracle replays value-for-value through
+    the xxhash64 string twin."""
+    from .extras.textstats import lm_quality
+
+    return lm_quality(_T(spark, sf, "documents"))
+
+
+def _sql_lm_quality() -> str:
+    from .xxh64_sql import xxh64_string_ctes
+
+    ctes, final = xxh64_string_ctes("xq", "dg", "g", "g")
+    signed = (
+        "CAST(CASE WHEN h >= 9223372036854775808 THEN CAST(h AS HUGEINT)"
+        " - 18446744073709551616 ELSE CAST(h AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH toksr AS (
+  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS w FROM documents
+), gramsr AS (
+  SELECT doc_id, w[i] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM toksr)
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toksr)
+), dg AS (SELECT DISTINCT g FROM gramsr),
+{ctes}, gbucket AS (
+  SELECT g, (({signed} % 4096) + 4096) % 4096 AS b FROM {final}
+), docb AS (
+  SELECT doc_id, b, count(*) AS c FROM gramsr JOIN gbucket USING (g) GROUP BY 1, 2
+), cb AS (
+  SELECT b, sum(c) AS cb FROM docb GROUP BY b
+), tot AS (SELECT sum(cb) AS total FROM cb),
+wts AS (
+  SELECT b,
+         CAST(round((ln(total + 4096.0) - ln(cb + 1.0)) * 1000000.0) AS BIGINT)
+           AS w_micro
+  FROM cb, tot
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(c * w_micro) AS BIGINT) AS nll_micro,
+       CAST(sum(c * w_micro) // sum(c) AS BIGINT) AS avg_nll_micro
+FROM docb JOIN wts USING (b) GROUP BY doc_id
+"""
+
+
 def q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing: deterministic
     hash-shuffled concatenation order, 2048-token context windows,
@@ -2304,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segments": q_dedup_segments,
         "dsir_select": q_dsir_select,
         "pack_chunks": q_pack_chunks,
+        "lm_quality": q_lm_quality,
         "multimodal_features": q_multimodal_features,
         "b14_classify": q_b14_classify,
         "resolver_pagerank": q_resolver_pagerank,
@@ -2373,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_segments": SQL_DEDUP_SEGMENTS,
         "dsir_select": _sql_dsir(),
         "pack_chunks": _sql_pack_chunks(),
+        "lm_quality": _sql_lm_quality(),
         "text_fingerprints": SQL_FINGERPRINTS,
         "dedup_simhash": SQL_SIMHASH,
         "b6_noun_phrases": SQL_B6_NOUN_PHRASES,

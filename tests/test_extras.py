@@ -545,6 +545,21 @@ def test_pack_chunks(spark):
     assert c2 == c32
 
 
+def test_lm_quality_flags_improbable_docs(spark):
+    # 9 docs from one vocabulary + 1 doc of corpus-rare grams: the
+    # outlier must carry the highest length-normalized NLL
+    rows = [(i, "alpha beta gamma delta " * 8) for i in range(9)]
+    rows.append((9, "zz qq xx vv " * 8))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.lm_quality(docs).collect()}
+    assert len(out) == 10
+    rare = out[9]["avg_nll_micro"]
+    assert all(out[i]["avg_nll_micro"] < rare for i in range(9))
+    # exact-integer contract: identical values on a rerun
+    again = {r["doc_id"]: tuple(r) for r in textstats.lm_quality(docs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == again
+
+
 def test_dedup_survivors_transitive(spark):
     # a~b and b~c but never a~c: the cluster must still collapse to one
     # keeper (transitive closure), and the unpaired doc keeps itself

@@ -65,6 +65,7 @@ def _rows(df_rows, cols):
         "dedup_segments",
         "dsir_select",
         "pack_chunks",
+        "lm_quality",
     ],
 )
 def test_derived_oracle_matches(spark, name):
