@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_survivors",
+    "dedup_semantic",
     "dedup_segments",
     "dsir_select",
     "pack_chunks",

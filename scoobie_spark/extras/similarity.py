@@ -127,6 +127,129 @@ def assign_cells(df: DataFrame, cents: np.ndarray, key: str, vec: str) -> DataFr
     return cols.mapInPandas(gen, "id long, cell int, v array<double>")
 
 
+def flat_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> list:
+    """The FLAT deterministic quantizer's centroid rows: the ``n_cells``
+    corpus vectors ranked first by ``xxhash64(int(key))`` with a key
+    tie-break (the same hash-spread selection rule
+    :func:`train_centroids` uses for its k-means sample, minus the Lloyd
+    refinement), collected driver-side as the broadcastable quantizer
+    model. SQL-replayable bit-for-bit via xxh64_sql.hashint_sql.
+
+    Note: the SQL replay assumes the key fits an int32 (Spark hashes the
+    cast int via hashInt)."""
+    e = corpus.select(
+        F.col(key).alias("cid"), F.col(vec).cast("array<double>").alias("cv")
+    )
+    return (
+        e.orderBy(F.xxhash64(F.col("cid").cast("int")).asc(), F.col("cid").asc())
+        .limit(n_cells)
+        .collect()
+    )
+
+
+def _py_norm(xs):
+    # bit-identical to _norm's sequential fold (0.0 + x0² + x1² …):
+    # the centroid is a literal model, so its norm is a literal too
+    acc = 0.0
+    for x in xs:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cell_sims_expr(cent_rows, vcol):
+    # struct(sim, -cell): max → highest sim, ties → LOWEST cell id;
+    # descending sort → sim desc, ties cell asc — both match the
+    # oracle's ORDER BY sim DESC, cell ASC. Centroid norms are
+    # driver-side constants; only the dot and the row norm fold at
+    # runtime.
+    return F.array(
+        *[
+            F.struct(
+                (
+                    _dot(vcol, F.array(*[F.lit(float(x)) for x in r["cv"]]))
+                    / (_safe_norm(vcol) * F.lit(max(_py_norm(r["cv"]), 1e-9)))
+                ).alias("s"),
+                F.lit(-int(r["cid"])).cast("long").alias("negcell"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    eps: float = 0.35,
+    n_cells: int = 16,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public spec): coarse-quantize the embedding space
+    into ``n_cells`` clusters, then inside each cluster drop every item
+    whose cosine similarity to a LOWER-keyed cluster member reaches
+    ``eps`` (the keep-lowest-key survivor rule the rest of the dedup
+    family uses; the paper instead keeps the member farthest from the
+    centroid — a second scoring pass for no determinism gain here).
+
+    The quantizer is the FLAT hash-sampled one (:func:`flat_centroids`),
+    assignment is a narrow Column expression against literal centroid
+    arrays (argmax cosine, ties → lowest cell id — zero Python, zero
+    shuffle), so the WHOLE operator — selection, assignment, pairing,
+    threshold — is value-replayable in ANSI SQL (queries.SQL_SEMDEDUP).
+
+    Returns one row per corpus item:
+    ``(key, cell, kept ∈ {0,1}, killed_by)`` with ``killed_by`` = the
+    lowest-keyed ≥eps neighbor in the same cell, or -1 when kept.
+
+    Scale shape: the only shuffles are the per-cell self-join and the
+    min-agg; each cell holds ~N/n_cells items, so the quadratic pair
+    work is 1/n_cells of the exact all-pairs baseline's and n_cells
+    grows with the corpus (cells stay executor-sized — the paper runs
+    ~100k clusters at its 100 TB-class scale). Raise ``n_cells`` for
+    the k-means quantizer quality path via :func:`ivf_topk`'s
+    machinery if cluster balance matters more than SQL replay."""
+    cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
+    c = corpus.select(
+        F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+    )
+    assigned = c.withColumn(
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v")))
+    ).select("id", (-F.col("best.negcell")).alias("cell"), "v")
+    a = assigned.select(F.col("id").alias("a"), "cell", F.col("v").alias("va"))
+    b = assigned.select(F.col("id").alias("b"), "cell", F.col("v").alias("vb"))
+    kills = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "raw",
+            _dot(F.col("va"), F.col("vb"))
+            / (_safe_norm(F.col("va")) * _safe_norm(F.col("vb"))),
+        )
+        # threshold on the RAW f64 cosine — the exact arithmetic the
+        # oracle-green dedup_embedding_exact already verified value-for-
+        # value against DuckDB's list_inner_product on this corpus
+        .filter(F.col("raw") >= F.lit(float(eps)))
+        .groupBy("b")
+        .agg(F.min("a").alias("killed_by"))
+    )
+    return (
+        assigned.join(kills, assigned["id"] == kills["b"], "left")
+        .select(
+            F.col("id").alias(key),
+            "cell",
+            F.when(F.col("killed_by").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+            F.coalesce(F.col("killed_by"), F.lit(-1).cast("long")).alias("killed_by"),
+        )
+    )
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,41 +276,10 @@ def ivf_flat_topk(
 
     Note: the SQL replay of the quantizer selection assumes the key fits
     an int32 (Spark hashes the cast int via hashInt)."""
-    e = corpus.select(
-        F.col(key).alias("cid"), F.col(vec).cast("array<double>").alias("cv")
-    )
-    cent_rows = (
-        e.orderBy(F.xxhash64(F.col("cid").cast("int")).asc(), F.col("cid").asc())
-        .limit(n_cells)
-        .collect()
-    )
-
-    def _py_norm(xs):
-        # bit-identical to _norm's sequential fold (0.0 + x0² + x1² …):
-        # the centroid is a literal model, so its norm is a literal too
-        acc = 0.0
-        for x in xs:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
+    cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
 
     def cell_sims(vcol):
-        # struct(sim, -cell): max → highest sim, ties → LOWEST cell id;
-        # descending sort → sim desc, ties cell asc — both match the
-        # oracle's ORDER BY sim DESC, cell ASC. Centroid norms are
-        # driver-side constants; only the dot and the row norm fold at
-        # runtime.
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        _dot(vcol, F.array(*[F.lit(float(x)) for x in r["cv"]]))
-                        / (_safe_norm(vcol) * F.lit(max(_py_norm(r["cv"]), 1e-9)))
-                    ).alias("s"),
-                    F.lit(-int(r["cid"])).cast("long").alias("negcell"),
-                )
-                for r in cent_rows
-            ]
-        )
+        return _cell_sims_expr(cent_rows, vcol)
 
     c = corpus.select(
         F.col(key).alias("neighbor_id"), F.col(vec).cast("array<double>").alias("v")

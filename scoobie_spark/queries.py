@@ -1401,6 +1401,61 @@ QUALIFY rank <= 5
 SQL_ANN_IVF_FLAT = _sql_ann_ivf_flat()
 
 
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semdedup — public spec,
+    Abbas et al. 2023): FLAT hash-quantized cells, within-cell cosine
+    ≥ 0.35 against a lower id drops the row. Fully value-replayable:
+    the quantizer is SQL_ANN_IVF_FLAT's (oracle-green), the threshold
+    arithmetic is SQL_EMB_EXACT's (oracle-green)."""
+    e = _T(spark, sf, "embeddings")
+    return similarity.semdedup(e, eps=0.35, n_cells=16)
+
+
+def _sql_semdedup() -> str:
+    """DuckDB twin of q_dedup_semantic: cents/asg CTEs verbatim from the
+    green SQL_ANN_IVF_FLAT (hashInt selection + argmax assignment with
+    the sim DESC, cell ASC tie rule), then the within-cell a<b pair
+    threshold in the exact f64 formula the green SQL_EMB_EXACT uses
+    (sequential list_inner_product + 1e-9-floored norms)."""
+    from .xxh64_sql import hashint_sql
+
+    g0, g1, g2, g3, gf = hashint_sql("vec_id", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT) - 18446744073709551616"
+        f" ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+h0 AS (SELECT vec_id, v, {g0} AS g0 FROM e),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell, v AS cv FROM h3 ORDER BY {signed}, vec_id LIMIT 16
+), asg AS (
+  SELECT e.vec_id AS id, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c
+  QUALIFY rn = 1
+), kills AS (
+  SELECT y.id AS b, min(x.id) AS killed_by
+  FROM asg x JOIN asg y ON x.cell = y.cell AND x.id < y.id
+  WHERE list_inner_product(x.v, y.v)
+          / (greatest(sqrt(list_inner_product(x.v, x.v)), 1e-9)
+             * greatest(sqrt(list_inner_product(y.v, y.v)), 1e-9)) >= 0.35
+  GROUP BY 1
+)
+SELECT a.id AS vec_id, a.cell,
+       CASE WHEN k.killed_by IS NULL THEN 1 ELSE 0 END AS kept,
+       coalesce(k.killed_by, -1) AS killed_by
+FROM asg a LEFT JOIN kills k ON a.id = k.b
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+
 def q_text_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprints (rolling polynomial hash, min-sampled) —
     per doc the distinct-minima count plus the smallest/largest
@@ -2332,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_semantic": q_dedup_semantic,
         "quality_scores": q_quality_scores,
         "quality_repetition": q_quality_repetition,
         "sample_split": q_sample_split,
@@ -2433,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL,
         "dedup_embedding_lsh": SQL_EMBEDDING_LSH,
         "ann_ivf_flat": SQL_ANN_IVF_FLAT,
+        "dedup_semantic": SQL_SEMDEDUP,
         # THE flagship — full B1-B25 pipeline replayed in SQL
         # (corpus/KB synthesis, chained-xxhash64 doc ids, positional
         # spotting, span filters, degree disambiguation, serialization;

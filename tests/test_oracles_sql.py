@@ -54,6 +54,7 @@ def _rows(df_rows, cols):
         "multimodal_features",
         "dedup_embedding_lsh",
         "ann_ivf_flat",
+        "dedup_semantic",
         "b24_cf_eval",
         "quality_repetition",
         "sample_split",

@@ -1,0 +1,66 @@
+"""SemDeDup (extras.similarity.semdedup) semantics tests.
+
+The value-for-value DuckDB differential lives in test_oracles_sql
+(parametrized as dedup_semantic); these pin the operator's rules on
+synthetic vectors: keep-lowest-key survivors, killed_by attribution,
+cell-locality of kills, and a brute-force recompute of the whole
+kill relation from the engine's own cell assignment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scoobie_spark.extras import similarity
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_semdedup_drops_duplicates_keeps_lowest(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    # ids 20 and 21 duplicate id 3's direction (cosine exactly 1.0)
+    vecs = list(base) + [base[3], base[3] * 2.0]
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(_emb(spark, vecs), eps=0.999, n_cells=4).collect()
+    }
+    assert len(out) == 22
+    assert out[3]["kept"] == 1 and out[3]["killed_by"] == -1
+    assert out[20]["kept"] == 0 and out[20]["killed_by"] == 3
+    assert out[21]["kept"] == 0 and out[21]["killed_by"] == 3
+    # identical directions must land in the same cell
+    assert out[20]["cell"] == out[3]["cell"] == out[21]["cell"]
+
+
+def test_semdedup_matches_bruteforce_kill_rule(spark):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(60, 6))
+    out = similarity.semdedup(_emb(spark, x), eps=0.5, n_cells=4).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+    sims = xn @ xn.T
+    for r in out:
+        j = r["vec_id"]
+        killers = [
+            i for i in range(j) if cells[i] == cells[j] and sims[i, j] >= 0.5
+        ]
+        # random gaussians sit far from the 0.5 boundary, so the f64
+        # fold vs numpy-dot rounding cannot flip a decision here
+        assert abs(min(abs(sims[:, j] - 0.5))) > 1e-9
+        if killers:
+            assert r["kept"] == 0 and r["killed_by"] == min(killers)
+        else:
+            assert r["kept"] == 1 and r["killed_by"] == -1
+
+
+def test_semdedup_empty_and_tiny(spark):
+    # corpus smaller than n_cells: every row still assigned + scored
+    rng = np.random.default_rng(3)
+    out = similarity.semdedup(_emb(spark, rng.normal(size=(3, 4))), n_cells=16).collect()
+    assert len(out) == 3
