@@ -33,6 +33,9 @@ DEFAULT = [
     # it can be corpus-scale at a 100 TB dup rate, so no static hint)
     "dedup_survivors",
     "dedup_segments",
+    # semantic: literal-centroid assignment is a narrow projection; the
+    # only exchanges are the cell self-join + the kills min-agg
+    "dedup_semantic",
     "dsir_select",
     "pack_chunks",
     "ann_topk",
