@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "lm_quality",
     "quality_scores",
     "quality_repetition",
+    "curation_funnel",
     "sample_split",
     "pii_redact",
     "decontaminate",

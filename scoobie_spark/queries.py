@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import regexner
-from .extras import dedup, similarity, textstats
+from .extras import curation, dedup, similarity, textstats
 
 _T = lambda spark, sf_dir, name: spark.read.parquet(f"{sf_dir}/{name}.parquet")  # noqa: E731
 
@@ -640,6 +640,68 @@ SELECT d.doc_id,
        CAST(COALESCE(hits.n_hits, 0) > 0 AS INT) AS contaminated
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/Gopher/FineWeb-style curation funnel (extras/curation.py):
+    lang → quality → repetition → exact dedup → near dedup, one row per
+    stage with the surviving doc count. Composes five already-oracle-
+    green signal operators; the oracle chains their SQL twins."""
+    d = _T(spark, sf, "documents")
+    return curation.curation_funnel(d)
+
+
+def _sql_curation_funnel() -> str:
+    """Chains the green SQL twins (SQL_LANG_ID, SQL_QUALITY,
+    SQL_REPETITION, SQL_DEDUP_EXACT, SQL_NGRAM_JACCARD) as CTEs and
+    replays the cumulative gates; thresholds come from the same module
+    constants the engine reads, so the sides cannot drift. Gates compare
+    round-6 signal values — the exact quantities those oracles verify
+    hash-for-hash — so no decision can sit on a float boundary."""
+    from .extras import curation as C
+
+    g1 = f"l.lang_guess = '{C.LANG}'"
+    g2 = f"{g1} AND q.n_tokens >= {C.MIN_TOKENS} AND q.stopword_ratio >= {C.MIN_STOPWORD_RATIO}"
+    g3 = (
+        f"{g2} AND r.dup_word_frac <= {C.MAX_DUP_WORD_FRAC}"
+        f" AND r.top_bigram_frac <= {C.MAX_TOP_BIGRAM_FRAC}"
+    )
+    g4 = f"{g3} AND k.keeper_id = d.doc_id"
+    unions = "\nUNION ALL ".join(
+        f"SELECT '{s}' AS stage, c{i} AS n_docs FROM agg"
+        for i, s in enumerate(C.STAGES)
+    )
+    return f"""
+WITH qual AS ({SQL_QUALITY}),
+rep AS ({SQL_REPETITION}),
+lang AS ({SQL_LANG_ID}),
+keep AS ({SQL_DEDUP_EXACT}),
+pairs AS ({SQL_NGRAM_JACCARD}),
+flags AS (
+  SELECT d.doc_id,
+         ({g1}) AS s1, ({g2}) AS s2, ({g3}) AS s3, ({g4}) AS s4
+  FROM documents d
+  JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+  JOIN rep r USING (doc_id) JOIN keep k USING (doc_id)
+),
+drops AS (
+  SELECT DISTINCT p.b FROM pairs p JOIN flags f ON f.doc_id = p.a AND f.s4
+),
+flags5 AS (
+  SELECT f.*, (f.s4 AND dr.b IS NULL) AS s5
+  FROM flags f LEFT JOIN drops dr ON f.doc_id = dr.b
+),
+agg AS (
+  SELECT count(*) AS c0,
+         count(*) FILTER (WHERE s1) AS c1,
+         count(*) FILTER (WHERE s2) AS c2,
+         count(*) FILTER (WHERE s3) AS c3,
+         count(*) FILTER (WHERE s4) AS c4,
+         count(*) FILTER (WHERE s5) AS c5
+  FROM flags5
+)
+{unions}
 """
 
 
@@ -2388,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_exact": q_dedup_embedding_exact,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_semantic": q_dedup_semantic,
+        "curation_funnel": q_curation_funnel,
         "quality_scores": q_quality_scores,
         "quality_repetition": q_quality_repetition,
         "sample_split": q_sample_split,
@@ -2490,6 +2553,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": SQL_EMBEDDING_LSH,
         "ann_ivf_flat": SQL_ANN_IVF_FLAT,
         "dedup_semantic": SQL_SEMDEDUP,
+        # lazy: chains SQL constants defined later in this module
+        "curation_funnel": _sql_curation_funnel(),
         # THE flagship — full B1-B25 pipeline replayed in SQL
         # (corpus/KB synthesis, chained-xxhash64 doc ids, positional
         # spotting, span filters, degree disambiguation, serialization;

@@ -40,6 +40,8 @@ DEFAULT = [
     "pack_chunks",
     "ann_topk",
     "quality_repetition",
+    # funnel reads every row by design — pushed_filters=n is expected
+    "curation_funnel",
     "sample_split",
     "pii_redact",
     "decontaminate",

@@ -55,6 +55,7 @@ def _rows(df_rows, cols):
         "dedup_embedding_lsh",
         "ann_ivf_flat",
         "dedup_semantic",
+        "curation_funnel",
         "b24_cf_eval",
         "quality_repetition",
         "sample_split",
