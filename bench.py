@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "quality_repetition",
     "curation_funnel",
     "sample_split",
+    "domain_mix",
     "pii_redact",
     "decontaminate",
     "events_sessionize",

@@ -177,3 +177,92 @@ def dsir_select(
             F.coalesce("selected", F.lit(False)).alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture rebalancing (DoReMi-style targets, deterministic apply)
+# --------------------------------------------------------------------------
+
+def domain_mix(
+    docs: DataFrame,
+    weight_expr=None,
+    buckets: int = 1_000_000,
+    key: str = "doc_id",
+    text: str = "text",
+    source: str = "source",
+) -> DataFrame:
+    """Rebalance a multi-domain corpus toward integer target weights by
+    deterministic downsampling — the mixture step every multi-source
+    training-data pipeline runs (the public DoReMi / Pile recipe shape:
+    per-domain target proportions applied as sampling rates).
+
+    ``weight_expr`` is a Column of POSITIVE integer target weights per
+    row (constant within a domain); domain ``s`` should end up with a
+    token share ∝ ``w_s``. The binding domain ``m`` — the one whose
+    current token share falls shortest of its target, i.e. argmax of
+    ``w_s / tokens_s`` over domains with tokens (ties → lowest source
+    string) — keeps everything; every other domain keeps the fraction
+    ``(w_s * tokens_m) / (tokens_s * w_m)`` of its docs. The plan is
+    EXACT integer arithmetic end to end (cross-multiplied argmax,
+    floor-divided bucket thresholds: ``thr_s = buckets*w_s*tok_m //
+    (tok_s*w_m)``), so the SQL oracle replays it without a single float;
+    the apply is the family's resumable hash gate
+    (``pmod(xxhash64(key), buckets) < thr_s`` — bit-replayable via
+    xxh64_sql.hashlong_sql). Domains with zero tokens keep everything
+    and never bind.
+
+    Two passes, like any real mixer: a planning aggregate (one row per
+    domain, collected driver-side — the broadcastable model, same
+    pattern as the ANN centroids) and the gated re-aggregate. Returns
+    one row per domain: ``(source, w, docs_in, tokens_in, thr,
+    docs_out, tokens_out)``.
+    """
+    from . import textstats
+
+    w = (weight_expr if weight_expr is not None else F.lit(1)).cast("long")
+    tc = textstats.token_counts(docs, key=key, text=text).select(
+        "doc_id", "ws_tokens"
+    )
+    d = docs.select(
+        F.col(key).alias("doc_id"), F.col(source).alias("source"), w.alias("w")
+    ).join(tc, "doc_id")
+    stats = sorted(
+        (r["source"], int(r["w"]), int(r["tokens_in"]))
+        for r in d.groupBy("source", "w")
+        .agg(F.sum("ws_tokens").alias("tokens_in"))
+        .collect()
+    )
+    with_tok = [r for r in stats if r[2] > 0]
+    m = None
+    for r in with_tok:
+        # exact rational argmax of w/tok: r beats m iff w_r*tok_m > w_m*tok_r
+        if m is None or r[1] * m[2] > m[1] * r[2]:
+            m = r
+    thr = {
+        s: buckets
+        if tok == 0 or m is None
+        else min(buckets, (buckets * wt * m[2]) // (tok * m[1]))
+        for (s, wt, tok) in stats
+    }
+    spark = docs.sparkSession
+    thr_df = spark.createDataFrame(
+        [(s, int(t)) for s, t in sorted(thr.items())], "source string, thr long"
+    )
+    bkt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets))
+    kept = F.col("bkt") < F.col("thr")
+    return (
+        d.join(F.broadcast(thr_df), "source")
+        .withColumn("bkt", bkt)
+        .groupBy("source", "w", "thr")
+        .agg(
+            F.count("*").alias("docs_in"),
+            F.sum("ws_tokens").alias("tokens_in"),
+            F.count(F.when(kept, 1)).alias("docs_out"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("ws_tokens"))), F.lit(0).cast("long")
+            ).alias("tokens_out"),
+        )
+        .select(
+            "source", "w", "docs_in", "tokens_in", "thr", "docs_out", "tokens_out"
+        )
+    )

@@ -518,6 +518,84 @@ FROM b
 """
 
 
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style domain-mixture rebalancing (extras.sampling.
+    domain_mix): integer target weight 1+(source idx mod 4) per domain,
+    exact-integer sampling plan, xxhash64 bucket-gated apply. One row
+    per domain with before/after doc+token counts."""
+    from .extras.sampling import domain_mix
+
+    d = _T(spark, sf, "documents")
+    w = 1 + F.pmod(F.regexp_extract("source", r"(\d+)", 1).cast("long"), F.lit(4))
+    return domain_mix(d, weight_expr=w)
+
+
+def _sql_domain_mix() -> str:
+    """DuckDB twin of q_domain_mix. The plan is float-free: the binding
+    domain is an exact cross-multiplied rational argmax (NOT EXISTS),
+    thresholds are HUGEINT floor divisions, and the apply gate replays
+    Spark's xxhash64(long) bit-for-bit (hashlong_sql) — so every output
+    cell is integer-decidable."""
+    from .xxh64_sql import hashlong_sql
+
+    g0, g1, g2, g3, g4, g5, gf = hashlong_sql("ux", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT)"
+        f" - 18446744073709551616 ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    B = 1_000_000
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4) AS w,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\r\f\v]+')) END AS t
+  FROM documents
+),
+stats AS (
+  SELECT source, w, CAST(sum(t) AS BIGINT) AS tokens_in FROM tok GROUP BY 1, 2
+),
+m AS (
+  SELECT source, w, tokens_in FROM stats s
+  WHERE tokens_in > 0 AND NOT EXISTS (
+    SELECT 1 FROM stats t WHERE t.tokens_in > 0 AND
+      (t.w * s.tokens_in > s.w * t.tokens_in
+       OR (t.w * s.tokens_in = s.w * t.tokens_in AND t.source < s.source))
+  )
+),
+thr AS (
+  SELECT s.source,
+         CAST(CASE WHEN s.tokens_in = 0 OR (SELECT count(*) FROM m) = 0 THEN {B}
+              ELSE least(CAST({B} AS HUGEINT),
+                   (CAST({B} AS HUGEINT) * s.w * (SELECT tokens_in FROM m))
+                   // (CAST(s.tokens_in AS HUGEINT) * (SELECT w FROM m)))
+         END AS BIGINT) AS thr
+  FROM stats s
+),
+u AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(doc_id AS HUGEINT) END AS UBIGINT) AS ux
+  FROM documents
+),
+h0 AS (SELECT doc_id, {g0} AS g0 FROM u),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+h4 AS (SELECT *, {g4} AS g4 FROM h3),
+h5 AS (SELECT *, {g5} AS g5 FROM h4),
+b AS (SELECT doc_id, (({signed} % {B}) + {B}) % {B} AS bkt FROM h5)
+SELECT t.source, t.w,
+       count(*) AS docs_in,
+       CAST(sum(t.t) AS BIGINT) AS tokens_in,
+       th.thr,
+       count(*) FILTER (WHERE b.bkt < th.thr) AS docs_out,
+       CAST(coalesce(sum(t.t) FILTER (WHERE b.bkt < th.thr), 0) AS BIGINT) AS tokens_out
+FROM tok t JOIN b USING (doc_id) JOIN thr th USING (source)
+GROUP BY 1, 2, 5
+"""
+
+
 # deterministic PII planted per doc_id residue so the redaction query
 # has nonzero signal over the PII-free synthetic corpus; both legs
 # (Column exprs here, SQL below) build the identical string
@@ -2454,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "quality_repetition": q_quality_repetition,
         "sample_split": q_sample_split,
+        "domain_mix": q_domain_mix,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "events_sessionize": q_events_sessionize,
@@ -2533,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY,
         "quality_repetition": SQL_REPETITION,
         "sample_split": _sql_sample_split(),
+        "domain_mix": _sql_domain_mix(),
         "pii_redact": _sql_pii_redact(),
         "decontaminate": SQL_DECONTAMINATE,
         "events_sessionize": SQL_SESSIONIZE,

@@ -43,6 +43,7 @@ DEFAULT = [
     # funnel reads every row by design — pushed_filters=n is expected
     "curation_funnel",
     "sample_split",
+    "domain_mix",
     "pii_redact",
     "decontaminate",
 ]

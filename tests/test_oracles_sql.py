@@ -56,6 +56,7 @@ def _rows(df_rows, cols):
         "ann_ivf_flat",
         "dedup_semantic",
         "curation_funnel",
+        "domain_mix",
         "b24_cf_eval",
         "quality_repetition",
         "sample_split",
