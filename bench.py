@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "dedup_semantic",
     "dedup_segments",
+    "dedup_substrings",
     "dsir_select",
     "pack_chunks",
     "lm_quality",

@@ -698,3 +698,80 @@ def segment_dedup(
             "n_dropped"
         ),
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    k: int = 40,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    arXiv:2107.06499 — the public suffix-array dedup spec), k-gram-island
+    variant: every char position whose k-gram already occurred anywhere
+    in the corpus (global first occurrence by (doc_id, pos) wins, like
+    :func:`segment_dedup`) opens a duplicated interval ``[pos, pos+k)``;
+    per document, overlapping-or-touching intervals merge into maximal
+    duplicated spans — exactly the spans the suffix-array method reports
+    for duplicates of length ≥ k, without materializing a global sorted
+    suffix structure.
+
+    Returns one row per doc: ``(doc_id, n_chars, n_spans, dup_chars)``.
+
+    Scale shape: the k-gram explode is the standard shingle blowup
+    (×~n_chars rows, each carrying k chars); first-occurrence selection
+    is the same map-side-combinable groupBy(sha256).agg(min(struct)) +
+    equi-join as segment_dedup (hot k-grams — 10^8 copies of a license
+    line at 100 TB — combine map-side instead of sorting in one task);
+    the island merge is a per-doc window over only the DUP positions
+    (bounded by doc length). The oracle groups by gram TEXT, guarding
+    the sha256 shortcut.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    t = F.coalesce(F.col(text), F.lit(""))
+    n_g = F.length(t) - F.lit(k) + F.lit(1)
+    starts = F.when(n_g > 0, F.sequence(F.lit(0), n_g - F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.col(key).alias("doc_id"),
+        F.explode(
+            F.transform(starts, lambda i: F.struct(i.alias("pos"),
+                                                   F.substring(t, i + 1, k).alias("gram")))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.sha2("g.gram", 256).alias("h"))
+    firsts = grams.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    dups = (
+        grams.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dups.withColumn(
+        "f",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        ).otherwise(0),
+    ).withColumn("isl", F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = flagged.groupBy("doc_id", "isl").agg(
+        (F.max("pos") + F.lit(k) - F.min("pos")).alias("chars")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("chars").cast("long").alias("dup_chars"),
+    )
+    return (
+        docs.select(F.col(key).alias("doc_id"), F.length(t).cast("long").alias("n_chars"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0).cast("long")).alias("dup_chars"),
+        )
+    )

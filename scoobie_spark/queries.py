@@ -1913,6 +1913,51 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_dedup_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span report (dedup.substring_dedup,
+    k=40 chars): per doc the merged duplicated-interval count and char
+    mass. Engine keys first-occurrence by sha256(gram); the oracle
+    groups by gram text, guarding the hash shortcut."""
+    d = _T(spark, sf, "documents")
+    return dedup.substring_dedup(d, k=40)
+
+
+SQL_DEDUP_SUBSTRINGS = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, CAST(i + 1 AS INT), 40) AS gram
+  FROM d, unnest(range(0, greatest(length(text) - 40 + 1, 0))) u(i)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 40
+              THEN 1 ELSE 0 END AS f
+  FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, isl, max(pos) + 40 - min(pos) AS chars FROM islands GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(chars) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       coalesce(a.n_spans, 0) AS n_spans, coalesce(a.dup_chars, 0) AS dup_chars
+FROM d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style importance selection (hashed unigram+bigram bag
     models, target = the English slice of the corpus, Gumbel-top-k
@@ -2550,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_cc_jaccard": q_b17_cc_jaccard,
         "dedup_survivors": q_dedup_survivors,
         "dedup_segments": q_dedup_segments,
+        "dedup_substrings": q_dedup_substrings,
         "dsir_select": q_dsir_select,
         "pack_chunks": q_pack_chunks,
         "lm_quality": q_lm_quality,
@@ -2621,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
         "b17_cc_jaccard": SQL_B17_CC,
         "dedup_survivors": SQL_DEDUP_SURVIVORS,
         "dedup_segments": SQL_DEDUP_SEGMENTS,
+        "dedup_substrings": SQL_DEDUP_SUBSTRINGS,
         "dsir_select": _sql_dsir(),
         "pack_chunks": _sql_pack_chunks(),
         "lm_quality": _sql_lm_quality(),

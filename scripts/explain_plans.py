@@ -33,6 +33,7 @@ DEFAULT = [
     # it can be corpus-scale at a 100 TB dup rate, so no static hint)
     "dedup_survivors",
     "dedup_segments",
+    "dedup_substrings",
     # semantic: literal-centroid assignment is a narrow projection; the
     # only exchanges are the cell self-join + the kills min-agg
     "dedup_semantic",

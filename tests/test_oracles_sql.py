@@ -57,6 +57,7 @@ def _rows(df_rows, cols):
         "dedup_semantic",
         "curation_funnel",
         "domain_mix",
+        "dedup_substrings",
         "b24_cf_eval",
         "quality_repetition",
         "sample_split",
