@@ -1,0 +1,147 @@
+"""Source-code quality heuristics and license detection for a
+training-data pipeline over the input_hint repo-file table
+``(repo, path, commit, lang, content)``.
+
+Public spec: the StarCoder / The-Stack data-curation recipes (Kocetkov
+et al. 2022, Li et al. 2023) filter raw repository files with cheap
+per-file heuristics BEFORE any expensive pass: drop auto-generated
+files, files with extreme line lengths, and files that are mostly
+non-alphanumeric data blobs; keep only permissively-licensed files.
+This module re-expresses those gates as pure Column expressions —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path — so at
+100 TB each is a narrow map-only pass Catalyst fuses with the parquet
+scan (only ``content`` and the key columns are read; everything
+projects away before any shuffle).
+
+All thresholds are applied with integer arithmetic (``4 * n_alnum >=
+n_chars`` instead of a float ratio, ``n_chars > 100 * n_lines`` instead
+of a float mean) so the DuckDB value oracle replays bit-exactly with no
+summation-order or formatting ulps.
+
+The regex constants are shared with the SQL-oracle builders in
+queries.py — both engines compile the same pattern text, and the
+subset used (character classes, alternation, inline ``(?i)``) has
+identical semantics in Java's engine and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# markers that identify machine-generated files (StarCoder drops these;
+# they teach a model nothing and are near-duplicated across repos)
+AUTOGEN_RE = r"(?i)@generated|auto-generated|automatically generated|do not edit"
+
+# SPDX short-form header (the REUSE spec): group 1 is the license id
+SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+PERMISSIVE_RE = r"^(MIT|Apache|BSD|ISC|Unlicense|Zlib|0BSD)"
+COPYLEFT_RE = r"^(GPL|AGPL|LGPL|MPL|EPL|CDDL)"
+
+# StarCoder-style gate thresholds (public recipe values)
+MAX_LINE_LEN = 1000      # drop files with any line longer than this
+MAX_AVG_LINE_LEN = 100   # drop files whose mean line length exceeds this
+MIN_ALNUM_QUARTERS = 4   # keep only if alnum chars >= 1/4 of all chars
+
+
+def code_quality(
+    files: DataFrame, key: str = "path", content: str = "content"
+) -> DataFrame:
+    """Per-file code-quality stats + the StarCoder-style keep gate.
+
+    Output columns (one row per input row):
+      * ``n_lines`` / ``n_chars`` / ``max_line_len`` / ``n_alnum`` —
+        long counters (NULL content counts as empty).
+      * ``autogen`` — file carries a machine-generated marker.
+      * ``keep`` — passes ALL gates: not autogen, no line over
+        MAX_LINE_LEN, mean line length <= MAX_AVG_LINE_LEN (integer
+        form: n_chars <= MAX_AVG_LINE_LEN * n_lines), and alnum chars
+        >= 1/4 of all chars (integer form: 4*n_alnum >= n_chars).
+
+    The whole row is computed from one pass over ``content``; no
+    shuffle, no UDF. ``split`` with limit -1 keeps trailing empty
+    lines, matching DuckDB's ``string_split`` — so ``n_lines`` is
+    newline-count + 1 in both engines.
+    """
+    c = F.coalesce(F.col(content), F.lit(""))
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    n_chars = F.length(c).cast("long")
+    max_line = F.array_max(F.transform(lines, lambda x: F.length(x))).cast("long")
+    n_alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("long")
+    autogen = c.rlike(AUTOGEN_RE)
+    keep = (
+        ~autogen
+        & (max_line <= MAX_LINE_LEN)
+        & (n_chars <= F.lit(MAX_AVG_LINE_LEN) * n_lines)
+        & (F.lit(MIN_ALNUM_QUARTERS) * n_alnum >= n_chars)
+    )
+    return files.select(
+        F.col(key).alias("path"),
+        n_lines.alias("n_lines"),
+        n_chars.alias("n_chars"),
+        max_line.alias("max_line_len"),
+        n_alnum.alias("n_alnum"),
+        autogen.alias("autogen"),
+        keep.alias("keep"),
+    )
+
+
+def license_detect(
+    files: DataFrame, key: str = "path", content: str = "content"
+) -> DataFrame:
+    """SPDX short-form license detection + permissiveness family.
+
+    Output: ``(path, spdx, family, license_ok)`` where ``spdx`` is the
+    extracted identifier ('' when absent — both engines return the
+    empty string for a non-matching regexp_extract), ``family`` is
+    permissive / copyleft / none / other, and ``license_ok`` is the
+    The-Stack inclusion gate (family = permissive).
+
+    Narrow map-only pass like code_quality; at 100 TB the usual shape
+    is this projection feeding a ``license_ok`` filter that Catalyst
+    pushes into the scan's data filters.
+    """
+    c = F.coalesce(F.col(content), F.lit(""))
+    spdx = F.regexp_extract(c, SPDX_RE, 1)
+    family = (
+        F.when(spdx == "", F.lit("none"))
+        .when(spdx.rlike(PERMISSIVE_RE), F.lit("permissive"))
+        .when(spdx.rlike(COPYLEFT_RE), F.lit("copyleft"))
+        .otherwise(F.lit("other"))
+    )
+    return files.select(
+        F.col(key).alias("path"),
+        spdx.alias("spdx"),
+        family.alias("family"),
+        (family == "permissive").alias("license_ok"),
+    )
+
+
+def incremental_novel(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    content: str = "content",
+    keys: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Exact incremental dedup: rows of ``batch`` whose content was NOT
+    already present in ``snapshot`` (the standard crawl-refresh /
+    repo-resync shape: only novel content flows on to the expensive
+    stages — near-dup, quality, PII).
+
+    Both sides key on ``sha256(content)``; the snapshot side reduces to
+    a distinct sha set BEFORE the join (map-side-combinable aggregate —
+    at 100 TB the snapshot's 10^12 rows collapse to |distinct contents|
+    keys), then a LEFT ANTI equi-join on the digest. sha256 keys are
+    uniform by construction, so the shuffle cannot skew; AQE coalesces
+    the post-aggregate side. No sort, no window, no Python.
+
+    Output: the batch key columns + ``sha`` of novel rows.
+    """
+    sha = F.sha2(F.coalesce(F.col(content), F.lit("")), 256)
+    seen = snapshot.select(sha.alias("sha")).distinct()
+    return (
+        batch.select(*[F.col(k) for k in keys], sha.alias("sha"))
+        .join(seen, "sha", "left_anti")
+        .select(*keys, "sha")
+    )

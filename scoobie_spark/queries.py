@@ -721,6 +721,190 @@ LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
 """
 
 
+def _code_file(doc_id, text):
+    """Deterministic code-shaped file content keyed on doc_id (the
+    input_hint repo-file table, synthesized like _plant_pii plants PII):
+    a comment line from the doc text, a tiny function body, then a
+    per-class planted defect — r=0 autogen marker, r=1 an over-long
+    line, r=2 a non-alphanumeric data blob, r=3/4 clean. The SQL twin
+    in _sql_code_file builds the identical string, so the oracle checks
+    every counter byte-for-byte."""
+    base = F.concat(
+        F.lit("# "),
+        F.substring(F.coalesce(text, F.lit("")), 1, 80),
+        F.lit("\ndef f"),
+        doc_id.cast("string"),
+        F.lit("(x):\n    return x + "),
+        doc_id.cast("string"),
+        F.lit("\n"),
+    )
+    r = F.pmod(doc_id, F.lit(5))
+    return (
+        F.when(r == 0, F.concat(F.lit("// @generated by tool\n"), base))
+        .when(r == 1, F.concat(base, F.repeat(F.lit("x"), 1200), F.lit("\n")))
+        .when(r == 2, F.concat(base, F.repeat(F.lit("= "), 400), F.lit("\n")))
+        .otherwise(base)
+    )
+
+
+def _sql_code_file(id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    nl = "chr(10)"
+    base = (
+        f"'# ' || substr(coalesce({text_expr}, ''), 1, 80) || {nl} || "
+        f"'def f' || CAST({id_expr} AS VARCHAR) || '(x):' || {nl} || "
+        f"'    return x + ' || CAST({id_expr} AS VARCHAR) || {nl}"
+    )
+    return f"""CASE {id_expr} % 5
+      WHEN 0 THEN '// @generated by tool' || {nl} || {base}
+      WHEN 1 THEN {base} || repeat('x', 1200) || {nl}
+      WHEN 2 THEN {base} || repeat('= ', 400) || {nl}
+      ELSE {base} END"""
+
+
+def q_code_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """StarCoder/The-Stack per-file code-quality gate
+    (extras.codestats.code_quality): line stats, alnum fraction and
+    autogen detection as integer-exact Column expressions over the
+    input_hint repo-file shape. Content is the deterministic _code_file
+    synthesis, so the oracle replays every counter and the keep gate."""
+    from .extras.codestats import code_quality
+
+    d = _T(spark, sf, "documents")
+    files = d.select(
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+        _code_file(F.col("doc_id"), F.col("text")).alias("content"),
+    )
+    return code_quality(files)
+
+
+def _sql_code_quality() -> str:
+    from .extras.codestats import (
+        AUTOGEN_RE,
+        MAX_AVG_LINE_LEN,
+        MAX_LINE_LEN,
+        MIN_ALNUM_QUARTERS,
+    )
+
+    return f"""
+WITH files AS (
+  SELECT 'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         {_sql_code_file()} AS content
+  FROM documents
+), stats AS (
+  SELECT path,
+         CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(content) AS BIGINT) AS n_chars,
+         CAST(list_max(list_transform(string_split(content, chr(10)), x -> len(x))) AS BIGINT) AS max_line_len,
+         CAST(len(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+         regexp_matches(content, '{AUTOGEN_RE}') AS autogen
+  FROM files
+)
+SELECT path, n_lines, n_chars, max_line_len, n_alnum, autogen,
+       (NOT autogen) AND max_line_len <= {MAX_LINE_LEN}
+         AND n_chars <= {MAX_AVG_LINE_LEN} * n_lines
+         AND {MIN_ALNUM_QUARTERS} * n_alnum >= n_chars AS keep
+FROM stats
+"""
+
+
+def q_license_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """SPDX license detection + permissiveness gate
+    (extras.codestats.license_detect — The-Stack's inclusion filter).
+    Headers are planted per doc_id class (MIT / GPL-3.0-only /
+    BSD-3-Clause / none) so all four families appear; the oracle
+    re-extracts and re-classifies with the same shared regex constants."""
+    from .extras.codestats import license_detect
+
+    d = _T(spark, sf, "documents")
+    r = F.pmod(F.col("doc_id"), F.lit(4))
+    header = (
+        F.when(r == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(r == 1, F.lit("# SPDX-License-Identifier: GPL-3.0-only\n"))
+        .when(r == 2, F.lit("/* SPDX-License-Identifier: BSD-3-Clause */\n"))
+        .otherwise(F.lit(""))
+    )
+    files = d.select(
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+        F.concat(header, _code_file(F.col("doc_id"), F.col("text"))).alias("content"),
+    )
+    return license_detect(files)
+
+
+def _sql_license_detect() -> str:
+    from .extras.codestats import COPYLEFT_RE, PERMISSIVE_RE, SPDX_RE
+
+    # DuckDB single-quoted strings don't process backslash escapes, so
+    # the shared pattern text drops in verbatim (same as SQL_PII)
+    spdx_sql = SPDX_RE
+    return f"""
+WITH files AS (
+  SELECT 'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         CASE doc_id % 4
+           WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+           WHEN 1 THEN '# SPDX-License-Identifier: GPL-3.0-only' || chr(10)
+           WHEN 2 THEN '/* SPDX-License-Identifier: BSD-3-Clause */' || chr(10)
+           ELSE '' END || {_sql_code_file()} AS content
+  FROM documents
+), ext AS (
+  SELECT path, regexp_extract(content, '{spdx_sql}', 1) AS spdx FROM files
+), fam AS (
+  SELECT path, spdx,
+         CASE WHEN spdx = '' THEN 'none'
+              WHEN regexp_matches(spdx, '{PERMISSIVE_RE}') THEN 'permissive'
+              WHEN regexp_matches(spdx, '{COPYLEFT_RE}') THEN 'copyleft'
+              ELSE 'other' END AS family
+  FROM ext
+)
+SELECT path, spdx, family, family = 'permissive' AS license_ok FROM fam
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup (extras.codestats.incremental_novel —
+    the crawl-refresh shape): a new batch is anti-joined on
+    sha256(content) against the previous snapshot's distinct digest
+    set; only novel rows survive. Snapshot = the code corpus as-is;
+    batch = the same files where every 3rd is byte-identical (dropped)
+    and the rest carry a v2 suffix (novel)."""
+    from .extras.codestats import incremental_novel
+
+    d = _T(spark, sf, "documents")
+    k = F.col("doc_id")
+    keys = [
+        F.concat(F.lit("repo-"), F.pmod(k, F.lit(50)).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), k.cast("string"), F.lit(".py")).alias("path"),
+        F.sha2(F.concat(F.lit("commit:"), k.cast("string")), 256).substr(1, 40).alias("commit"),
+    ]
+    content = _code_file(k, F.col("text"))
+    snapshot = d.select(*keys, content.alias("content"))
+    batch = d.select(
+        *keys,
+        F.when(F.pmod(k, F.lit(3)) == 0, content)
+        .otherwise(F.concat(content, F.lit("# v2\n")))
+        .alias("content"),
+    )
+    return incremental_novel(snapshot, batch)
+
+
+def _sql_dedup_incremental() -> str:
+    return f"""
+WITH snapshot AS (
+  SELECT {_sql_code_file()} AS content FROM documents
+), batch AS (
+  SELECT 'repo-' || CAST(doc_id % 50 AS VARCHAR) AS repo,
+         'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         substr(sha256('commit:' || CAST(doc_id AS VARCHAR)), 1, 40) AS "commit",
+         CASE WHEN doc_id % 3 = 0 THEN {_sql_code_file()}
+              ELSE {_sql_code_file()} || '# v2' || chr(10) END AS content
+  FROM documents
+), seen AS (
+  SELECT DISTINCT sha256(content) AS sha FROM snapshot
+)
+SELECT repo, path, "commit", sha256(content) AS sha
+FROM batch WHERE sha256(content) NOT IN (SELECT sha FROM seen)
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """C4/Gopher/FineWeb-style curation funnel (extras/curation.py):
     lang → quality → repetition → exact dedup → near dedup, one row per
@@ -2580,6 +2764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "code_quality": q_code_quality,
+        "license_detect": q_license_detect,
+        "dedup_incremental": q_dedup_incremental,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
@@ -2661,6 +2848,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _sql_domain_mix(),
         "pii_redact": _sql_pii_redact(),
         "decontaminate": SQL_DECONTAMINATE,
+        "code_quality": _sql_code_quality(),
+        "license_detect": _sql_license_detect(),
+        "dedup_incremental": _sql_dedup_incremental(),
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,

@@ -70,6 +70,9 @@ def _rows(df_rows, cols):
         "dsir_select",
         "pack_chunks",
         "lm_quality",
+        "code_quality",
+        "license_detect",
+        "dedup_incremental",
     ],
 )
 def test_derived_oracle_matches(spark, name):
