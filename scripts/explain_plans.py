@@ -47,6 +47,12 @@ DEFAULT = [
     "domain_mix",
     "pii_redact",
     "decontaminate",
+    # code curation: quality/license are narrow map-only projections
+    # (scan → project, no exchange); incremental is a distinct-agg +
+    # LEFT ANTI equi-join on uniform sha256 keys
+    "code_quality",
+    "license_detect",
+    "dedup_incremental",
 ]
 
 # queries whose semantics genuinely require one global exchange
