@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "domain_mix",
     "pii_redact",
     "decontaminate",
+    "code_quality",
+    "license_detect",
+    "dedup_incremental",
+    "bpe_pairs",
     "events_sessionize",
     "ann_topk",
     "ann_ivf_topk",

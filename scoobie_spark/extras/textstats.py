@@ -77,6 +77,41 @@ def token_counts(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Da
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame, key: str = "doc_id", text: str = "text", k: int = 100
+) -> DataFrame:
+    """Top-k adjacent-token-pair frequencies — the counting kernel of
+    one BPE merge round (Sennrich et al. 2016), run corpus-wide the way
+    tokenizer training does at scale.
+
+    Pairs are built with a narrow in-array zip (``transform`` over the
+    index sequence + ``element_at``) — no posexplode self-join, so the
+    only wide stages are the partial-aggregated pair count and the
+    global top-k, which Spark executes as TakeOrderedAndProject
+    (map-side per-partition top-k + driver merge of k-row heaps, never
+    a single-partition sort of the full pair histogram). Ties at the
+    cut are broken by pair text, making the k-row result total-ordered
+    and oracle-exact.
+
+    NULL/empty/one-token docs contribute nothing (the guard matters:
+    ``sequence(1, 0)`` would DESCEND, fabricating an out-of-range
+    index, not return empty)."""
+    toks = F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), r"\s+")
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Stopword-vote language guess (B2-equivalent; reference used Nutch
     LanguageIdentifier, LanguageIdentification.java:55-84). Arrow-batched;

@@ -905,6 +905,31 @@ FROM batch WHERE sha256(content) NOT IN (SELECT sha FROM seen)
 """
 
 
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training kernel (extras.textstats.bpe_pair_counts):
+    corpus-wide top-100 adjacent-token-pair frequencies — one BPE merge
+    round's counting step. Narrow in-array pair zip, partial-agg count,
+    TakeOrderedAndProject top-k (no single-partition sort); ties broken
+    by pair text so the 100-row cut is total-ordered and oracle-exact."""
+    d = _T(spark, sf, "documents")
+    return textstats.bpe_pair_counts(d, k=100)
+
+
+SQL_BPE_PAIRS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\r\f\v]+') AS t
+  FROM documents
+), pairs AS (
+  SELECT t[i] || ' ' || t[i+1] AS pair
+  FROM toks, unnest(range(1, len(t))) u(i)
+  WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 100
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """C4/Gopher/FineWeb-style curation funnel (extras/curation.py):
     lang → quality → repetition → exact dedup → near dedup, one row per
@@ -2767,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "license_detect": q_license_detect,
         "dedup_incremental": q_dedup_incremental,
+        "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
@@ -2851,6 +2877,7 @@ def oracle_sql() -> dict[str, str]:
         "code_quality": _sql_code_quality(),
         "license_detect": _sql_license_detect(),
         "dedup_incremental": _sql_dedup_incremental(),
+        "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
         "ann_topk": SQL_ANN,

@@ -53,6 +53,9 @@ DEFAULT = [
     "code_quality",
     "license_detect",
     "dedup_incremental",
+    # tokenizer pair counting: partial-agg → pair-key exchange →
+    # TakeOrderedAndProject (global top-k WITHOUT a global sort)
+    "bpe_pairs",
 ]
 
 # queries whose semantics genuinely require one global exchange

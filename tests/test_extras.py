@@ -567,3 +567,18 @@ def test_dedup_survivors_transitive(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
     out = {r["doc_id"]: (r["keeper_id"], r["is_survivor"]) for r in dedup.survivors(docs, pairs).collect()}
     assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True), 4: (4, True)}
+
+
+def test_bpe_pair_counts(spark):
+    rows = [
+        (0, "a b a b c"),      # pairs: a b, b a, a b, b c
+        (1, "  a b  "),        # trims + collapses runs → a b
+        (2, "solo"),           # one token → nothing
+        (3, ""),               # empty → nothing
+        (4, None),             # NULL → nothing (no sequence(1,0) descent)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [(r["pair"], r["n"]) for r in textstats.bpe_pair_counts(docs, k=2).collect()]
+    # top-2 with the (n desc, pair asc) total order: 'a b'×3 then 'b a'×1
+    # (ties between 'b a' and 'b c' break on pair text)
+    assert out == [("a b", 3), ("b a", 1)]

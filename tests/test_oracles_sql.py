@@ -73,6 +73,7 @@ def _rows(df_rows, cols):
         "code_quality",
         "license_detect",
         "dedup_incremental",
+        "bpe_pairs",
     ],
 )
 def test_derived_oracle_matches(spark, name):
