@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "code_quality",
     "license_detect",
     "dedup_incremental",
+    "code_secrets",
     "bpe_pairs",
     "events_sessionize",
     "ann_topk",

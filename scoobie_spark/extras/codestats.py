@@ -145,3 +145,51 @@ def incremental_novel(
         .join(seen, "sha", "left_anti")
         .select(*keys, "sha")
     )
+
+
+# ---------------------------------------------------------------------------
+# Secrets redaction (BigCode / StarCoder pre-training hygiene)
+# ---------------------------------------------------------------------------
+
+# Fixed application order, like pii.PII_PATTERNS: each category counts
+# and redacts on the previous category's output, so a base64 run inside
+# an already-redacted PEM block is never re-reported as an assigned
+# secret. The subset used (character classes, bounded repetition,
+# alternation, \b, (?i)) has identical semantics in Java's engine
+# (Spark) and RE2 (DuckDB); the SQL-oracle builder doubles any single
+# quotes, so the pattern text itself is shared verbatim.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("pem", r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----", "[PEMKEY]"),
+    ("aws_keys", r"\bAKIA[0-9A-Z]{16}\b", "[AWSKEY]"),
+    (
+        "assigned",
+        r"(?i)\b(api_key|apikey|secret|token|passwd|password)\s*=\s*[\"'][A-Za-z0-9+/=_-]{12,}[\"']",
+        "[SECRET]",
+    ),
+]
+
+
+def secret_scan(
+    files: DataFrame, key: str = "path", content: str = "content"
+) -> DataFrame:
+    """Per-file secret detection + redaction
+    ``(path, n_pem, n_aws_keys, n_assigned, redacted)``.
+
+    Public spec: the BigCode / StarCoder curation recipe redacts
+    committed credentials (private-key blocks, AWS access key ids,
+    hard-coded ``password = "..."`` assignments) from source files
+    before training. Like :func:`scoobie_spark.extras.pii.redact_pii`
+    this is pure Column expressions — ``regexp_count`` +
+    ``regexp_replace``, JVM-side, whole-stage-codegen'd, zero Python —
+    so at 100 TB it is a narrow map-only pass Catalyst fuses with the
+    parquet scan. Counts are longs computed on the text as it stands
+    before that category's replacement; NULL content counts as empty
+    (the extras-family contract).
+    """
+    cur = F.coalesce(F.col(content), F.lit(""))
+    cols = [F.col(key).alias("path")]
+    for name, pat, rep in SECRET_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, rep)
+    cols.append(cur.alias("redacted"))
+    return files.select(*cols)
