@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "license_detect",
     "dedup_incremental",
     "code_secrets",
+    "license_propagate",
     "bpe_pairs",
     "events_sessionize",
     "ann_topk",

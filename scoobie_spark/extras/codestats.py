@@ -193,3 +193,68 @@ def secret_scan(
         cur = F.regexp_replace(cur, pat, rep)
     cols.append(cur.alias("redacted"))
     return files.select(*cols)
+
+
+# license-file names that define a repository's license (The-Stack /
+# REUSE convention); matched on the path's final segment, case-insensitive
+LICENSE_FILE_RE = r"(?i)^(license|copying)([._-].*)?$"
+
+
+def propagate_repo_license(
+    files: DataFrame, repo: str = "repo", key: str = "path", content: str = "content"
+) -> DataFrame:
+    """Repo-level license resolution + per-file inheritance
+    ``(repo, path, spdx, repo_spdx, effective_spdx, family,
+    license_ok)``.
+
+    Public spec: The-Stack / BigCode determine a repository's license
+    from its license file (LICENSE*, COPYING*) and apply it to every
+    file; a file carrying its own SPDX short-form header keeps that
+    instead (the REUSE spec's precedence). ``spdx`` is the file's own
+    header ('' when absent), ``repo_spdx`` the repo license-file's
+    header ('' when the repo has none), ``effective_spdx`` the
+    precedence result, and ``family``/``license_ok`` classify the
+    effective id like :func:`license_detect`.
+
+    Physical shape at 100 TB: per-file detection is a narrow map-only
+    pass; the repo-license side first FILTERS to license files (a
+    ~|repos|-row frame) and reduces with a map-side-combinable
+    struct-min (deterministic tie rule: lowest path wins), then joins
+    back on ``repo`` — AQE broadcasts the tiny aggregated side, so the
+    big file table never shuffles. No sort, no window, no Python.
+    """
+    c = F.coalesce(F.col(content), F.lit(""))
+    spdx = F.regexp_extract(c, SPDX_RE, 1)
+    det = files.select(
+        F.col(repo).alias("repo"),
+        F.col(key).alias("path"),
+        spdx.alias("spdx"),
+    )
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    repo_lic = (
+        det.filter(fname.rlike(LICENSE_FILE_RE))
+        .groupBy("repo")
+        .agg(F.min(F.struct("path", "spdx")).getField("spdx").alias("repo_spdx"))
+    )
+    joined = det.join(repo_lic, "repo", "left").select(
+        "repo",
+        "path",
+        "spdx",
+        F.coalesce(F.col("repo_spdx"), F.lit("")).alias("repo_spdx"),
+    )
+    eff = F.when(F.col("spdx") != "", F.col("spdx")).otherwise(F.col("repo_spdx"))
+    family = (
+        F.when(eff == "", F.lit("none"))
+        .when(eff.rlike(PERMISSIVE_RE), F.lit("permissive"))
+        .when(eff.rlike(COPYLEFT_RE), F.lit("copyleft"))
+        .otherwise(F.lit("other"))
+    )
+    return joined.select(
+        "repo",
+        "path",
+        "spdx",
+        "repo_spdx",
+        eff.alias("effective_spdx"),
+        family.alias("family"),
+        (family == "permissive").alias("license_ok"),
+    )

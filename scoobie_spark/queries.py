@@ -930,6 +930,93 @@ ORDER BY n DESC, pair LIMIT 100
 """
 
 
+def q_license_propagate(spark: SparkSession, sf: str) -> DataFrame:
+    """Repo-level license resolution + inheritance
+    (extras.codestats.propagate_repo_license — The-Stack's repo
+    recipe): each repo gets one planted LICENSE file (MIT / GPL /
+    SPDX-less by repo residue), every 7th file carries its own
+    Apache-2.0 header (REUSE precedence: it wins), the rest inherit.
+    The oracle replays detection, the per-repo license-file reduction
+    and the inheritance join value-for-value."""
+    from .extras.codestats import propagate_repo_license
+
+    d = _T(spark, sf, "documents")
+    k = F.col("doc_id")
+    own = F.when(
+        F.pmod(k, F.lit(7)) == 0,
+        F.lit("# SPDX-License-Identifier: Apache-2.0\n"),
+    ).otherwise(F.lit(""))
+    file_rows = d.select(
+        F.concat(F.lit("repo-"), F.pmod(k, F.lit(50)).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), k.cast("string"), F.lit(".py")).alias("path"),
+        F.concat(own, _code_file(k, F.col("text"))).alias("content"),
+    )
+    rn = F.col("rn")
+    lic_rows = (
+        d.select(F.pmod(k, F.lit(50)).alias("rn"))
+        .distinct()
+        .select(
+            F.concat(F.lit("repo-"), rn.cast("string")).alias("repo"),
+            F.lit("LICENSE").alias("path"),
+            F.when(
+                F.pmod(rn, F.lit(3)) == 0,
+                F.lit("SPDX-License-Identifier: MIT\nMIT License text.\n"),
+            )
+            .when(
+                F.pmod(rn, F.lit(3)) == 1,
+                F.lit("SPDX-License-Identifier: GPL-3.0-only\nGPL text.\n"),
+            )
+            .otherwise(F.lit("All rights reserved.\n"))
+            .alias("content"),
+        )
+    )
+    return propagate_repo_license(file_rows.unionByName(lic_rows))
+
+
+def _sql_license_propagate() -> str:
+    from .extras.codestats import COPYLEFT_RE, PERMISSIVE_RE, SPDX_RE
+
+    return f"""
+WITH file_rows AS (
+  SELECT 'repo-' || CAST(doc_id % 50 AS VARCHAR) AS repo,
+         'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         CASE WHEN doc_id % 7 = 0
+              THEN '# SPDX-License-Identifier: Apache-2.0' || chr(10)
+              ELSE '' END || {_sql_code_file()} AS content
+  FROM documents
+), lic_rows AS (
+  SELECT 'repo-' || CAST(rn AS VARCHAR) AS repo, 'LICENSE' AS path,
+         CASE rn % 3
+           WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10) || 'MIT License text.' || chr(10)
+           WHEN 1 THEN 'SPDX-License-Identifier: GPL-3.0-only' || chr(10) || 'GPL text.' || chr(10)
+           ELSE 'All rights reserved.' || chr(10) END AS content
+  FROM (SELECT DISTINCT doc_id % 50 AS rn FROM documents)
+), det AS (
+  SELECT repo, path, regexp_extract(content, '{SPDX_RE}', 1) AS spdx
+  FROM (SELECT * FROM file_rows UNION ALL SELECT * FROM lic_rows)
+), repo_lic AS (
+  SELECT repo, arg_min(spdx, path) AS repo_spdx
+  FROM det
+  WHERE regexp_matches(list_extract(string_split(path, '/'), -1),
+                       '(?i)^(license|copying)([._-].*)?$')
+  GROUP BY repo
+), joined AS (
+  SELECT d.repo, d.path, d.spdx, coalesce(r.repo_spdx, '') AS repo_spdx,
+         CASE WHEN d.spdx <> '' THEN d.spdx ELSE coalesce(r.repo_spdx, '') END AS effective_spdx
+  FROM det d LEFT JOIN repo_lic r ON d.repo = r.repo
+)
+SELECT repo, path, spdx, repo_spdx, effective_spdx,
+       CASE WHEN effective_spdx = '' THEN 'none'
+            WHEN regexp_matches(effective_spdx, '{PERMISSIVE_RE}') THEN 'permissive'
+            WHEN regexp_matches(effective_spdx, '{COPYLEFT_RE}') THEN 'copyleft'
+            ELSE 'other' END AS family,
+       CASE WHEN effective_spdx = '' THEN FALSE
+            WHEN regexp_matches(effective_spdx, '{PERMISSIVE_RE}') THEN TRUE
+            ELSE FALSE END AS license_ok
+FROM joined
+"""
+
+
 def q_code_secrets(spark: SparkSession, sf: str) -> DataFrame:
     """Committed-credential redaction (extras.codestats.secret_scan —
     the BigCode/StarCoder hygiene pass): PEM private-key headers, AWS
@@ -2867,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": q_license_detect,
         "dedup_incremental": q_dedup_incremental,
         "code_secrets": q_code_secrets,
+        "license_propagate": q_license_propagate,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -2953,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "license_detect": _sql_license_detect(),
         "dedup_incremental": _sql_dedup_incremental(),
         "code_secrets": _sql_code_secrets(),
+        "license_propagate": _sql_license_propagate(),
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,
