@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "code_secrets",
     "license_propagate",
+    "boilerplate_lines",
     "bpe_pairs",
     "events_sessionize",
     "ann_topk",

@@ -407,3 +407,76 @@ def lm_quality(
             F.expr("nll_micro DIV n_grams").alias("avg_nll_micro"),
         )
     )
+
+
+# boilerplate-line thresholds (RefinedWeb/CCNet-style): a line is
+# boilerplate when it is at least MIN_BOILER_CHARS long AND appears in
+# at least `min_docs` distinct documents
+MIN_BOILER_CHARS = 4
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    min_docs: int = 30,
+    min_chars: int = MIN_BOILER_CHARS,
+) -> DataFrame:
+    """Corpus-level repeated-line (boilerplate) removal
+    ``(doc_id, cleaned, n_kept, n_removed)``.
+
+    Public spec: the CCNet / RefinedWeb cleanup recipes drop lines that
+    recur across many documents (navigation menus, cookie banners,
+    copyright footers) because they are template artifacts, not
+    content. A line is boilerplate when it has at least ``min_chars``
+    characters and occurs in at least ``min_docs`` distinct documents;
+    surviving lines are reassembled in original order (``cleaned`` is
+    the exact residual text, newline-joined).
+
+    Physical shape at 100 TB: lines explode map-side; the frequency
+    pass groups on ``xxhash64(line)`` ONLY (8-byte keys — the line
+    text itself never shuffles into the count) with a
+    partial-aggregated distinct-doc count; the boilerplate set (lines
+    in ≥ min_docs docs — tiny by construction) comes back as a LEFT
+    ANTI hash join that AQE broadcasts; reassembly is ONE doc_id
+    shuffle with per-doc struct-sort (bounded by document size). A
+    64-bit hash collision can at worst drop one innocent line
+    corpus-wide — the standard trade every production line-dedup
+    makes; the DuckDB oracle joins on the line STRINGS, so the
+    differential also guards the hash shortcut.
+    """
+    t = F.coalesce(F.col(text), F.lit(""))
+    lines = docs.select(
+        F.col(key).alias("doc_id"),
+        F.posexplode(F.split(t, "\n", -1)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy(F.xxhash64("line").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    kept = lines.withColumn("h", F.xxhash64("line")).join(boiler, "h", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(key).alias("doc_id"),
+        F.size(F.split(t, "\n", -1)).cast("long").alias("n_lines"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))).alias(
+            "n_removed"
+        ),
+    )

@@ -1091,6 +1091,64 @@ SELECT path, {n_cols}, {final} AS redacted FROM red
 """
 
 
+def q_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level repeated-line removal
+    (extras.textstats.remove_boilerplate_lines — the CCNet/RefinedWeb
+    template-cleanup pass). Every doc gets the same two planted footer
+    lines (dropped: they recur corpus-wide) plus one unique line
+    (kept); the cleaned text is a compared column, so reassembly order
+    and the frequency gate replay byte-for-byte. The engine counts and
+    anti-joins on xxhash64(line) — the 100 TB shuffle shape — while
+    the oracle joins on line strings, so the differential also guards
+    the hash shortcut."""
+    from .extras.textstats import remove_boilerplate_lines
+
+    d = _T(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nSubscribe to our newsletter.\nCopyright 2026 Example Corp.\nvisit /page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(planted, min_docs=30)
+
+
+def _sql_boilerplate_lines() -> str:
+    from .extras.textstats import MIN_BOILER_CHARS
+
+    footer = (
+        "chr(10) || 'Subscribe to our newsletter.' || chr(10) || "
+        "'Copyright 2026 Example Corp.' || chr(10) || 'visit /page/' "
+        "|| CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, coalesce(text, '') || {footer} AS t FROM documents
+), arr AS (
+  SELECT doc_id, string_split(t, chr(10)) AS a FROM planted
+), lines AS (
+  SELECT doc_id, i AS pos, a[i] AS line
+  FROM arr, unnest(range(1, len(a) + 1)) u(i)
+), boiler AS (
+  SELECT line FROM lines WHERE len(line) >= {MIN_BOILER_CHARS}
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 30
+), kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE line NOT IN (SELECT line FROM boiler)
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, coalesce(a.cleaned, '') AS cleaned,
+       coalesce(a.n_kept, 0) AS n_kept,
+       CAST(len(string_split(p.t, chr(10))) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed
+FROM planted p LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """C4/Gopher/FineWeb-style curation funnel (extras/curation.py):
     lang → quality → repetition → exact dedup → near dedup, one row per
@@ -2955,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "code_secrets": q_code_secrets,
         "license_propagate": q_license_propagate,
+        "boilerplate_lines": q_boilerplate_lines,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3042,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _sql_dedup_incremental(),
         "code_secrets": _sql_code_secrets(),
         "license_propagate": _sql_license_propagate(),
+        "boilerplate_lines": _sql_boilerplate_lines(),
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,

@@ -582,3 +582,33 @@ def test_bpe_pair_counts(spark):
     # top-2 with the (n desc, pair asc) total order: 'a b'×3 then 'b a'×1
     # (ties between 'b a' and 'b c' break on pair text)
     assert out == [("a b", 3), ("b a", 1)]
+
+
+def test_boilerplate_line_removal(spark):
+    from scoobie_spark.extras.textstats import remove_boilerplate_lines
+
+    footer = "Subscribe now."
+    rows = [(i, f"unique {i}\n{footer}\nok {i}") for i in range(5)]
+    rows.append((99, None))  # NULL text -> one empty line, kept
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_boilerplate_lines(docs, min_docs=5).collect()
+    }
+    # the recurring footer dropped, order of survivors preserved
+    assert out[0]["cleaned"] == "unique 0\nok 0"
+    assert (out[0]["n_kept"], out[0]["n_removed"]) == (2, 1)
+    assert out[4]["cleaned"] == "unique 4\nok 4"
+    assert out[99]["cleaned"] == "" and out[99]["n_removed"] == 0
+    # below min_docs the same line survives everywhere
+    out4 = {
+        r["doc_id"]: r.asDict()
+        for r in remove_boilerplate_lines(docs, min_docs=6).collect()
+    }
+    assert out4[0]["cleaned"] == f"unique 0\n{footer}\nok 0"
+    # short recurring lines are never boilerplate candidates
+    short = spark.createDataFrame(
+        [(i, f"ok\nline {i}") for i in range(5)], "doc_id long, text string"
+    )
+    outs = remove_boilerplate_lines(short, min_docs=5).collect()
+    assert all(r["cleaned"].startswith("ok\n") for r in outs)
