@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "ann_topk",
     "ann_ivf_topk",
+    "knn_graph",
+    "prototypes_prune",
 ]
 
 

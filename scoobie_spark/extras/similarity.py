@@ -310,6 +310,143 @@ def ivf_flat_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus
+    ``(src, dst, cosine, rank, mutual)`` — every vector is a query.
+
+    The standard building block for embedding-space curation (SemDeDup
+    clustering, density/outlier pruning, label propagation). Same FLAT
+    deterministic quantizer as :func:`ivf_flat_topk` (hash-sampled
+    centroid rows, argmax-cosine assignment, top ``n_probe`` cell
+    probe, exact f64 re-rank, ties → lowest neighbor id), so the whole
+    graph is value-replayable in ANSI SQL. ``mutual`` marks edges
+    whose reverse edge is also in the graph — the mutual-kNN relation
+    clustering recipes cut on.
+
+    Scale shape: unlike the query-side :func:`ivf_flat_topk` (which
+    broadcasts a small probe set), BOTH sides here are corpus-sized,
+    so candidates come from a plain shuffle equi-join on ``cell``
+    (~N/n_cells rows per cell — n_cells grows with the corpus, cells
+    stay executor-sized), the per-src top-k is a window over each
+    src's probed candidates (bounded by n_probe cells, never the
+    corpus), and the mutual flag is one (src,dst) self-equi-join on
+    the N·k edge set. Zero Python anywhere.
+    """
+    cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
+    c = corpus.select(
+        F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+    )
+    assigned = c.withColumn(
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v")))
+    ).select(
+        F.col("id").alias("dst"), (-F.col("best.negcell")).alias("cell"), "v"
+    )
+    probes = (
+        c.withColumn(
+            "top",
+            F.slice(
+                F.reverse(F.array_sort(_cell_sims_expr(cent_rows, F.col("v")))),
+                1,
+                n_probe,
+            ),
+        )
+        .select(F.col("id").alias("src"), F.explode("top").alias("pc"), F.col("v").alias("qv"))
+        .select("src", (-F.col("pc.negcell")).alias("cell"), "qv")
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("v"))
+            / (_safe_norm(F.col("qv")) * _safe_norm(F.col("v"))),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+        # the mutual join references the edge set twice; a lazy
+        # localCheckpoint runs the candidate join + window once (the
+        # dedup-family pattern — cache() would pin executor storage)
+        .localCheckpoint(eager=False)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m")
+    )
+    return edges.join(rev, ["src", "dst"], "left").select(
+        "src", "dst", "cosine", "rank", F.col("m").isNotNull().alias("mutual")
+    )
+
+
+def prototypes_prune(
+    corpus: DataFrame,
+    keep_frac: float = 0.7,
+    n_cells: int = 16,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Self-supervised-prototypes data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws", arXiv:2206.14486 — public spec):
+    cluster the embedding space, score each example by its cosine to
+    its assigned prototype, and keep only the HARDEST
+    ``ceil(keep_frac · cluster_size)`` examples per cluster (low
+    prototype-cosine = far from the cluster center = hard; the paper
+    shows pruning easy examples beats random pruning when data is
+    abundant). Per-cluster quotas keep the surviving set
+    cluster-balanced, as the paper prescribes.
+
+    Quantizer = the FLAT deterministic one (:func:`flat_centroids`), so
+    the whole operator — selection, assignment, difficulty, quota —
+    replays value-for-value in ANSI SQL. Returns one row per item:
+    ``(key, cell, proto_cosine rounded, hardness_rank, kept ∈ {0,1})``
+    with rank 1 = hardest in its cluster.
+
+    Scale shape: assignment is a narrow Column expression against
+    literal centroids (zero shuffle); the only wide stages are the
+    per-cell count + rank window, each bounded by a cell's membership
+    (~N/n_cells — n_cells grows with the corpus, cells stay
+    executor-sized). Zero Python."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
+    c = corpus.select(
+        F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+    )
+    assigned = c.withColumn(
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v")))
+    ).select("id", (-F.col("best.negcell")).alias("cell"), F.col("best.s").alias("pcos"))
+    wr = Window.partitionBy("cell").orderBy(F.col("pcos").asc(), F.col("id").asc())
+    wn = Window.partitionBy("cell")
+    return (
+        assigned.withColumn("hardness_rank", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            F.col("id").alias(key),
+            "cell",
+            F.round("pcos", 4).alias("proto_cosine"),
+            "hardness_rank",
+            # quota = ceil(keep_frac · n): the float product of a small
+            # int and a literal is exact-deterministic IEEE arithmetic,
+            # identical in the SQL twin
+            F.when(
+                F.col("hardness_rank") <= F.ceil(F.lit(float(keep_frac)) * F.col("n")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1969,6 +1969,67 @@ QUALIFY rank <= 5
 SQL_ANN_IVF_FLAT = _sql_ann_ivf_flat()
 
 
+def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide approximate kNN graph (similarity.knn_graph): FLAT
+    hash-quantized cells, shuffle equi-join candidates, exact f64
+    re-rank top-5 per vector, mutual-edge flag via one edge-set
+    self-join. Every step replays in SQL_KNN_GRAPH (the oracle-green
+    ann_ivf_flat machinery with corpus-as-queries plus the mutual
+    join)."""
+    e = _T(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.knn_graph(e, k=5, n_cells=16, n_probe=4)
+    return out.select(
+        "src", "dst", F.round("cosine", 4).alias("cosine"), "rank", "mutual"
+    )
+
+
+def _sql_knn_graph() -> str:
+    """DuckDB twin of q_knn_graph: the SQL_ANN_IVF_FLAT CTE chain with
+    every vector as a query, then the reverse-edge LEFT JOIN for the
+    mutual flag (edge identity only — no float in that decision)."""
+    from .xxh64_sql import hashint_sql
+
+    g0, g1, g2, g3, gf = hashint_sql("vec_id", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT) - 18446744073709551616"
+        f" ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+h0 AS (SELECT vec_id, v, {g0} AS g0 FROM e),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell, v AS cv FROM h3 ORDER BY {signed}, vec_id LIMIT 16
+), asg AS (
+  SELECT e.vec_id AS dst, c.cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c
+  QUALIFY rn = 1
+), probes AS (
+  SELECT q.vec_id AS src, c.cell, q.v AS qv,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell) AS rn
+  FROM e q CROSS JOIN cents c
+  QUALIFY rn <= 4
+), edges AS (
+  SELECT p.src, a.dst,
+         round(list_cosine_similarity(p.qv, a.v), 4) AS cosine,
+         row_number() OVER (PARTITION BY p.src
+                            ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.dst) AS rank
+  FROM probes p JOIN asg a USING (cell)
+  WHERE a.dst <> p.src
+  QUALIFY rank <= 5
+)
+SELECT x.src, x.dst, x.cosine, x.rank, y.src IS NOT NULL AS mutual
+FROM edges x LEFT JOIN edges y ON x.src = y.dst AND x.dst = y.src
+"""
+
+
 def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.semdedup — public spec,
     Abbas et al. 2023): FLAT hash-quantized cells, within-cell cosine
@@ -2022,6 +2083,59 @@ FROM asg a LEFT JOIN kills k ON a.id = k.b
 
 
 SQL_SEMDEDUP = _sql_semdedup()
+
+
+def q_prototypes_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SSL-prototypes data pruning (similarity.prototypes_prune — public
+    spec, Sorscher et al. 2022): FLAT hash-quantized cells, difficulty =
+    cosine to assigned prototype, keep the hardest ceil(0.7·|cell|) per
+    cell. Quantizer + assignment are the oracle-green SQL_ANN_IVF_FLAT
+    machinery; the quota rank is integer once the cosine order is
+    fixed."""
+    e = _T(spark, sf, "embeddings")
+    return similarity.prototypes_prune(e, keep_frac=0.7, n_cells=16)
+
+
+def _sql_prototypes_prune() -> str:
+    """DuckDB twin of q_prototypes_prune: cents/asg verbatim from the
+    green SQL_ANN_IVF_FLAT (hashInt selection + argmax assignment, ties
+    sim DESC / cell ASC), carrying the assigned-prototype cosine out of
+    the argmax, then the per-cell hardness rank (cosine ASC, id ASC) and
+    the ceil(keep_frac·n) quota."""
+    from .xxh64_sql import hashint_sql
+
+    g0, g1, g2, g3, gf = hashint_sql("vec_id", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT) - 18446744073709551616"
+        f" ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+h0 AS (SELECT vec_id, v, {g0} AS g0 FROM e),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell, v AS cv FROM h3 ORDER BY {signed}, vec_id LIMIT 16
+), asg AS (
+  SELECT e.vec_id AS id, c.cell, list_cosine_similarity(e.v, c.cv) AS pcos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rn
+  FROM e CROSS JOIN cents c
+  QUALIFY rn = 1
+), ranked AS (
+  SELECT id, cell, pcos,
+         row_number() OVER (PARTITION BY cell ORDER BY pcos ASC, id) AS hardness_rank,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM asg
+)
+SELECT id AS vec_id, cell, round(pcos, 4) AS proto_cosine, hardness_rank,
+       CASE WHEN hardness_rank <= ceil(0.7 * n) THEN 1 ELSE 0 END AS kept
+FROM ranked
+"""
+
+
+SQL_PROTOTYPES_PRUNE = _sql_prototypes_prune()
 
 
 def q_text_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -3014,6 +3128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secrets": q_code_secrets,
         "license_propagate": q_license_propagate,
         "boilerplate_lines": q_boilerplate_lines,
+        "knn_graph": q_knn_graph,
+        "prototypes_prune": q_prototypes_prune,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3102,6 +3218,8 @@ def oracle_sql() -> dict[str, str]:
         "code_secrets": _sql_code_secrets(),
         "license_propagate": _sql_license_propagate(),
         "boilerplate_lines": _sql_boilerplate_lines(),
+        "knn_graph": _sql_knn_graph(),
+        "prototypes_prune": SQL_PROTOTYPES_PRUNE,
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,

@@ -612,3 +612,67 @@ def test_boilerplate_line_removal(spark):
     )
     outs = remove_boilerplate_lines(short, min_docs=5).collect()
     assert all(r["cleaned"].startswith("ok\n") for r in outs)
+
+
+def test_prototypes_prune_quota_and_hardness(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.prototypes_prune(emb, keep_frac=0.5, n_cells=4).collect()
+    assert len(out) == 60
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rows in by_cell.items():
+        n = len(rows)
+        quota = math.ceil(0.5 * n)
+        kept = [r for r in rows if r["kept"] == 1]
+        assert len(kept) == quota
+        # the kept set is exactly the lowest-cosine (hardest) prefix
+        rows.sort(key=lambda r: r["hardness_rank"])
+        assert [r["kept"] for r in rows] == [1] * quota + [0] * (n - quota)
+        cos = [r["proto_cosine"] for r in rows]
+        assert cos == sorted(cos)
+    # keep_frac=1 keeps everything
+    all_kept = similarity.prototypes_prune(emb, keep_frac=1.0, n_cells=4).collect()
+    assert all(r["kept"] == 1 for r in all_kept)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.prototypes_prune(emb, keep_frac=0.0)
+
+
+def test_knn_graph_exact_when_probing_all_cells(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.knn_graph(emb, k=3, n_cells=4, n_probe=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], r["mutual"]))
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    edge_set = {(r["src"], r["dst"]) for r in out}
+    for s in range(40):
+        # brute-force top-3 by (cosine desc, id asc), self excluded
+        order = sorted(
+            (d for d in range(40) if d != s), key=lambda d: (-sims[s, d], d)
+        )[:3]
+        mine = [dst for _, dst, _ in sorted(got[s])]
+        assert mine == order, (s, mine, order)
+        for rank, dst, mutual in got[s]:
+            assert mutual == ((dst, s) in edge_set)
+    # probing all cells makes the graph exact, so every src has k edges
+    assert all(len(v) == 3 for v in got.values())
