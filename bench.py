@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "lm_quality",
     "quality_scores",
     "quality_repetition",
+    "doc_tfidf",
     "curation_funnel",
     "sample_split",
     "domain_mix",

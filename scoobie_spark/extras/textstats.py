@@ -11,7 +11,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny built-in stopword lists → n-gram-free language heuristic that
@@ -406,6 +406,62 @@ def lm_quality(
             "nll_micro",
             F.expr("nll_micro DIV n_grams").alias("avg_nll_micro"),
         )
+    )
+
+
+def doc_tfidf(
+    docs: DataFrame, k: int = 3, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords
+    ``(doc_id, term, tf, df, score_micro, rank)`` — the classic
+    keyword-extraction / document-representation operator (Spärck
+    Jones 1972), over the corpus's own vocabulary.
+
+    Tokenization = trim + lower + whitespace split (the
+    :func:`repetition_scores` convention). IDF uses the in-repo exact-
+    integer design (``sampling.dsir_select`` / :func:`lm_quality`):
+    ``idf_micro = round(ln(N/df)·1e6)`` snaps the one float to micro-
+    units, so ``score_micro = tf · idf_micro`` is an exact integer —
+    order-independent, and the top-k rank (score DESC, term ASC)
+    replays value-for-value in SQL. ``N`` = documents with ≥1 token.
+
+    Scale shape: per-doc term counts and the document-frequency table
+    are both partial-aggregated groupBys (map-side combine bounds the
+    hot-key reducer rows at one per upstream partition); the tf⋈df
+    equi-join on ``term`` is the one skewed stage (a stopword's tf rows
+    all share its key) — AQE skew-join splits it at runtime, and hot
+    terms are exactly the low-idf ones so no pruning shortcut is safe.
+    The corpus size ships back as a 1-row broadcast; the final top-k is
+    a per-doc window bounded by document vocabulary."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    toks = docs.select(
+        F.col(key).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: F.length(x) > 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # feeds df, N, and the join
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "idf_micro",
+            F.round(F.log(F.col("nd").cast("double") / F.col("df")) * 1e6).cast(
+                "long"
+            ),
+        )
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
     )
 
 

@@ -476,6 +476,43 @@ LEFT JOIN tstats USING (doc_id)
 """
 
 
+def q_doc_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (textstats.doc_tfidf — Spärck
+    Jones 1972): trim+lower+whitespace tokens, idf snapped to integer
+    micro-units (the dsir/lm_quality float-free oracle design), rank by
+    exact-integer score DESC, term ASC."""
+    d = _T(spark, sf, "documents")
+    return textstats.doc_tfidf(d, k=3)
+
+
+SQL_DOC_TFIDF = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '[ \t\n\r\f\v]+'),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ts) AS term FROM d
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM tf
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, f.df,
+         t.tf * CAST(round(ln(CAST(nd AS DOUBLE) / f.df) * 1000000) AS BIGINT)
+           AS score_micro
+  FROM tf t JOIN df f USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score_micro,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 def q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash train/val/test split over the documents table
     (extras.sampling.hash_split): split = cumulative-fraction bucket of
@@ -3130,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "knn_graph": q_knn_graph,
         "prototypes_prune": q_prototypes_prune,
+        "doc_tfidf": q_doc_tfidf,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3220,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _sql_boilerplate_lines(),
         "knn_graph": _sql_knn_graph(),
         "prototypes_prune": SQL_PROTOTYPES_PRUNE,
+        "doc_tfidf": SQL_DOC_TFIDF,
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,

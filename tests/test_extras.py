@@ -614,6 +614,49 @@ def test_boilerplate_line_removal(spark):
     assert all(r["cleaned"].startswith("ok\n") for r in outs)
 
 
+def test_doc_tfidf_matches_brute_force(spark):
+    import math
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana dog"),
+        (3, "cherry dog elephant elephant elephant"),
+        (4, "  apple \t dog  "),
+        (5, None),
+        (6, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textstats.doc_tfidf(df, k=2).collect()
+    # brute force in python: N = docs with >=1 token
+    toks = {d: (t or "").lower().split() for d, t in docs}
+    toks = {d: t for d, t in toks.items() if t}
+    n = len(toks)
+    dfreq: dict = {}
+    for t in toks.values():
+        for w in set(t):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    expect = {}
+    for d, t in toks.items():
+        tf: dict = {}
+        for w in t:
+            tf[w] = tf.get(w, 0) + 1
+        scored = [
+            (w, c, dfreq[w], c * round(math.log(n / dfreq[w]) * 1e6))
+            for w, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        expect[d] = scored[:2]
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], r["score_micro"])
+        )
+    assert set(got) == set(expect)  # empty/null docs emit nothing
+    for d, rows in got.items():
+        rows.sort()
+        assert [(t, tf, dfq, s) for _, t, tf, dfq, s in rows] == expect[d]
+
+
 def test_prototypes_prune_quota_and_hardness(spark):
     import math
 
