@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "knn_graph",
     "prototypes_prune",
+    "label_propagate",
 ]
 
 

@@ -387,6 +387,77 @@ def knn_graph(
     )
 
 
+def label_propagate(
+    corpus: DataFrame,
+    rounds: int = 3,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed_mod: int = 10,
+    seed_buckets: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+) -> DataFrame:
+    """Deterministic label propagation over the approximate kNN graph
+    (Zhu & Ghahramani 2002 — public spec; the standard semi-supervised
+    recipe for spreading sparse labels across an embedding space).
+
+    Seeds = rows whose ``pmod(xxhash64(key), seed_mod) < seed_buckets``
+    AND carry a non-null ``label`` — a deterministic ~seed_buckets/
+    seed_mod fraction, replayable bit-for-bit in SQL via the hashLong
+    twin. Each synchronous round every NON-seed node with ≥1 labeled
+    neighbor takes the majority label of its labeled out-neighbors
+    (count DESC, label ASC tie rule — integer decisions only; seeds
+    stay clamped). Labels flip as coverage grows; coverage itself is
+    monotone. Returns one row per corpus item:
+    ``(key, label ∈ {-1 = unlabeled, …}, is_seed, labeled)``.
+
+    Scale shape: the graph build is :func:`knn_graph`'s (checkpointed
+    once, reused every round); a round is one N·k-edge equi-join + a
+    partial-aggregated vote count + a per-node argmax window (bounded
+    by the label alphabet), with a lineage cut per round so the plan
+    stays O(1) deep. Zero Python."""
+    lbl = corpus.select(
+        F.col(key).alias("vec_id"), F.col(label).cast("int").alias("y")
+    )
+    seeds = lbl.withColumn(
+        "is_seed",
+        (F.pmod(F.xxhash64(F.col("vec_id")), F.lit(seed_mod)) < seed_buckets)
+        & F.col("y").isNotNull(),
+    ).localCheckpoint(eager=False)
+    edges = (
+        knn_graph(corpus, k=k, n_cells=n_cells, n_probe=n_probe, key=key, vec=vec)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    seed_lab = seeds.filter("is_seed").select(
+        "vec_id", F.col("y").alias("label")
+    ).localCheckpoint(eager=False)
+    seed_ids = seed_lab.select("vec_id")
+    cur = seed_lab
+    for _ in range(rounds):
+        votes = (
+            edges.join(cur.withColumnRenamed("vec_id", "dst"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("label").asc())
+        prop = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("vec_id"), "label")
+            .join(seed_ids, "vec_id", "left_anti")
+        )
+        cur = seed_lab.unionByName(prop).localCheckpoint(eager=False)
+    return seeds.join(cur, "vec_id", "left").select(
+        F.col("vec_id").alias(key),
+        F.coalesce(F.col("label"), F.lit(-1)).cast("int").alias("label"),
+        F.col("is_seed").cast("int").alias("is_seed"),
+        F.col("label").isNotNull().cast("int").alias("labeled"),
+    )
+
+
 def prototypes_prune(
     corpus: DataFrame,
     keep_frac: float = 0.7,

@@ -2022,10 +2022,11 @@ def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_knn_graph() -> str:
-    """DuckDB twin of q_knn_graph: the SQL_ANN_IVF_FLAT CTE chain with
-    every vector as a query, then the reverse-edge LEFT JOIN for the
-    mutual flag (edge identity only — no float in that decision)."""
+def _knn_edges_with() -> str:
+    """The WITH-prefix building the oracle-green kNN edge set (the
+    SQL_ANN_IVF_FLAT CTE chain with every vector as a query), shared by
+    the knn_graph and label_propagate oracles. Ends after the ``edges``
+    CTE so callers append further CTEs or the final SELECT."""
     from .xxh64_sql import hashint_sql
 
     g0, g1, g2, g3, gf = hashint_sql("vec_id", "42")
@@ -2053,7 +2054,7 @@ cents AS MATERIALIZED (
                             ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cell) AS rn
   FROM e q CROSS JOIN cents c
   QUALIFY rn <= 4
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT p.src, a.dst,
          round(list_cosine_similarity(p.qv, a.v), 4) AS cosine,
          row_number() OVER (PARTITION BY p.src
@@ -2061,10 +2062,93 @@ cents AS MATERIALIZED (
   FROM probes p JOIN asg a USING (cell)
   WHERE a.dst <> p.src
   QUALIFY rank <= 5
-)
+)"""
+
+
+def _sql_knn_graph() -> str:
+    """DuckDB twin of q_knn_graph: the SQL_ANN_IVF_FLAT CTE chain with
+    every vector as a query, then the reverse-edge LEFT JOIN for the
+    mutual flag (edge identity only — no float in that decision)."""
+    return (
+        _knn_edges_with()
+        + """
 SELECT x.src, x.dst, x.cosine, x.rank, y.src IS NOT NULL AS mutual
 FROM edges x LEFT JOIN edges y ON x.src = y.dst AND x.dst = y.src
 """
+    )
+
+
+def q_label_propagate(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label propagation over the kNN graph
+    (similarity.label_propagate — public spec, Zhu & Ghahramani 2002):
+    hash-selected ~30% seeds from the embeddings table's label column,
+    3 synchronous majority-vote rounds (count DESC, label ASC ties),
+    seeds clamped. Graph = the oracle-green knn_graph edge set; every
+    decision after the graph is integer."""
+    e = _T(spark, sf, "embeddings")
+    return similarity.label_propagate(e, rounds=3, k=5, n_cells=16, n_probe=4)
+
+
+def _sql_label_propagate() -> str:
+    """DuckDB twin of q_label_propagate: the shared kNN edges prefix,
+    the bit-exact hashLong seed selection (pmod(xxhash64(vec_id),10)<3),
+    then the 3 vote rounds unrolled as CTEs — each round the fresh
+    majority over the previous round's labels for non-seeds, seeds
+    clamped via UNION with a NOT IN guard."""
+    from .xxh64_sql import hashlong_sql
+
+    g0, g1, g2, g3, g4, g5, gf = hashlong_sql("ux", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT)"
+        f" - 18446744073709551616 ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(
+            f""", r{r} AS (
+  SELECT vec_id, label FROM (
+    SELECT g.src AS vec_id, l.label,
+           row_number() OVER (PARTITION BY g.src
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM edges g JOIN lab{r - 1} l ON g.dst = l.vec_id
+    GROUP BY g.src, l.label
+  ) WHERE rn = 1
+), lab{r} AS MATERIALIZED (
+  SELECT vec_id, label FROM lab0
+  UNION ALL
+  SELECT vec_id, label FROM r{r}
+  WHERE vec_id NOT IN (SELECT vec_id FROM lab0)
+)"""
+        )
+    return (
+        _knn_edges_with()
+        + f""", u AS (
+  SELECT vec_id, label,
+         CAST(CASE WHEN vec_id < 0 THEN CAST(vec_id AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(vec_id AS HUGEINT) END AS UBIGINT) AS ux
+  FROM embeddings
+),
+s0 AS (SELECT vec_id, label, {g0} AS g0 FROM u),
+s1 AS (SELECT *, {g1} AS g1 FROM s0),
+s2 AS (SELECT *, {g2} AS g2 FROM s1),
+s3 AS (SELECT *, {g3} AS g3 FROM s2),
+s4 AS (SELECT *, {g4} AS g4 FROM s3),
+s5 AS (SELECT *, {g5} AS g5 FROM s4),
+seeds AS MATERIALIZED (
+  SELECT vec_id, label,
+         ((({signed} % 10) + 10) % 10 < 3 AND label IS NOT NULL) AS is_seed
+  FROM s5
+), lab0 AS MATERIALIZED (
+  SELECT vec_id, label FROM seeds WHERE is_seed
+)"""
+        + "".join(rounds)
+        + """
+SELECT s.vec_id, coalesce(l.label, -1) AS label,
+       CAST(s.is_seed AS INT) AS is_seed,
+       CAST(l.label IS NOT NULL AS INT) AS labeled
+FROM seeds s LEFT JOIN lab3 l USING (vec_id)
+"""
+    )
 
 
 def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
@@ -3167,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "knn_graph": q_knn_graph,
         "prototypes_prune": q_prototypes_prune,
+        "label_propagate": q_label_propagate,
         "doc_tfidf": q_doc_tfidf,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
@@ -3258,6 +3343,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _sql_boilerplate_lines(),
         "knn_graph": _sql_knn_graph(),
         "prototypes_prune": SQL_PROTOTYPES_PRUNE,
+        "label_propagate": _sql_label_propagate(),
         "doc_tfidf": SQL_DOC_TFIDF,
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,

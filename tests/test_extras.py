@@ -692,6 +692,60 @@ def test_prototypes_prune_quota_and_hardness(spark):
         similarity.prototypes_prune(emb, keep_frac=0.0)
 
 
+def test_label_propagate_matches_python_replay(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # three well-separated clusters so propagation has signal
+    centers = rng.normal(size=(3, 8)) * 4
+    rows = []
+    for i in range(45):
+        c = i % 3
+        v = centers[c] + rng.normal(size=8) * 0.3
+        rows.append((i, [float(x) for x in v], int(c)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.label_propagate(
+            emb, rounds=3, k=4, n_cells=4, n_probe=2
+        ).collect()
+    }
+    assert len(out) == 45
+    # replay: same seed rule (via Spark's own xxhash64), same edges
+    seeds = {
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", (F.pmod(F.xxhash64("vec_id"), F.lit(10)) < 3).alias("s")
+        ).collect()
+        if r["s"]
+    }
+    edges = [
+        (r["src"], r["dst"])
+        for r in similarity.knn_graph(emb, k=4, n_cells=4, n_probe=2).collect()
+    ]
+    truth = {i: i % 3 for i in range(45)}
+    lab = {s: truth[s] for s in seeds}
+    for _ in range(3):
+        votes: dict = {}
+        for s, d in edges:
+            if d in lab:
+                votes.setdefault(s, {}).setdefault(lab[d], 0)
+            if d in lab:
+                votes[s][lab[d]] += 1
+        nxt = dict((s, truth[s]) for s in seeds)
+        for s, vs in votes.items():
+            if s not in seeds:
+                nxt[s] = min(vs, key=lambda l: (-vs[l], l))
+        lab = nxt
+    for i in range(45):
+        r = out[i]
+        assert r["is_seed"] == (1 if i in seeds else 0)
+        assert r["labeled"] == (1 if i in lab else 0)
+        assert r["label"] == lab.get(i, -1), (i, r, lab.get(i))
+    # seeds keep their ground-truth label
+    assert all(out[s]["label"] == truth[s] for s in seeds)
+
+
 def test_knn_graph_exact_when_probing_all_cells(spark):
     import numpy as np
 
