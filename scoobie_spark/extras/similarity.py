@@ -43,6 +43,8 @@ def _safe_norm(c):
     return F.greatest(_norm(c), F.lit(1e-9))
 
 
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,6 +154,24 @@ def flat_centroids(
     )
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Spread an under-parallel source before the narrow per-row
+    quantizer compute: the cell-sims expression folds one dot per
+    centroid per row, and a small single-split parquet (or a
+    hand-built DataFrame) would otherwise serialize that whole
+    pre-shuffle stage on ONE core. Gated on the static plan's
+    partition count exactly like the flagship's ``spread_input``
+    (pipeline.py): a 100 TB parquet scan is already byte-split, so at
+    scale this is a no-op and no blanket shuffle is paid."""
+    from ..pipeline import _source_parallelism
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if _source_parallelism(df) < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def _py_norm(xs):
     # bit-identical to _norm's sequential fold (0.0 + x0² + x1² …):
     # the centroid is a literal model, so its norm is a literal too
@@ -161,18 +181,22 @@ def _py_norm(xs):
     return math.sqrt(acc)
 
 
-def _cell_sims_expr(cent_rows, vcol):
+def _cell_sims_expr(cent_rows, vcol, nrm=None):
     # struct(sim, -cell): max → highest sim, ties → LOWEST cell id;
     # descending sort → sim desc, ties cell asc — both match the
     # oracle's ORDER BY sim DESC, cell ASC. Centroid norms are
-    # driver-side constants; only the dot and the row norm fold at
-    # runtime.
+    # driver-side constants; only the dots and the row norm fold at
+    # runtime. Pass ``nrm`` (a column already holding _safe_norm(vcol))
+    # to evaluate the row norm ONCE per row instead of once per
+    # centroid struct — the product is the same floats either way.
+    if nrm is None:
+        nrm = _safe_norm(vcol)
     return F.array(
         *[
             F.struct(
                 (
                     _dot(vcol, F.array(*[F.lit(float(x)) for x in r["cv"]]))
-                    / (_safe_norm(vcol) * F.lit(max(_py_norm(r["cv"]), 1e-9)))
+                    / (nrm * F.lit(max(_py_norm(r["cv"]), 1e-9)))
                 ).alias("s"),
                 F.lit(-int(r["cid"])).cast("long").alias("negcell"),
             )
@@ -214,21 +238,29 @@ def semdedup(
     the k-means quantizer quality path via :func:`ivf_topk`'s
     machinery if cluster balance matters more than SQL replay."""
     cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
-    c = corpus.select(
-        F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
-    )
+    # row norm hoisted: once per vector (feeding the cell sims AND the
+    # per-pair denominator) instead of per centroid struct / per pair
+    c = _spread(
+        corpus.select(
+            F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+        ),
+        "id",
+    ).withColumn("nv", _safe_norm(F.col("v")))
     assigned = c.withColumn(
-        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v")))
-    ).select("id", (-F.col("best.negcell")).alias("cell"), "v")
-    a = assigned.select(F.col("id").alias("a"), "cell", F.col("v").alias("va"))
-    b = assigned.select(F.col("id").alias("b"), "cell", F.col("v").alias("vb"))
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v"), F.col("nv")))
+    ).select("id", (-F.col("best.negcell")).alias("cell"), "v", "nv")
+    a = assigned.select(
+        F.col("id").alias("a"), "cell", F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    b = assigned.select(
+        F.col("id").alias("b"), "cell", F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
     kills = (
         a.join(b, "cell")
         .filter(F.col("a") < F.col("b"))
         .withColumn(
             "raw",
-            _dot(F.col("va"), F.col("vb"))
-            / (_safe_norm(F.col("va")) * _safe_norm(F.col("vb"))),
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
         # threshold on the RAW f64 cosine — the exact arithmetic the
         # oracle-green dedup_embedding_exact already verified value-for-
@@ -278,29 +310,39 @@ def ivf_flat_topk(
     an int32 (Spark hashes the cast int via hashInt)."""
     cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
 
-    def cell_sims(vcol):
-        return _cell_sims_expr(cent_rows, vcol)
-
-    c = corpus.select(
-        F.col(key).alias("neighbor_id"), F.col(vec).cast("array<double>").alias("v")
-    )
-    assigned = c.withColumn("best", F.array_max(cell_sims(F.col("v")))).select(
-        "neighbor_id", (-F.col("best.negcell")).alias("cell"), "v"
-    )
+    # row norms hoisted: once per vector instead of per centroid
+    # struct / per candidate pair (same float product)
+    c = _spread(
+        corpus.select(
+            F.col(key).alias("neighbor_id"),
+            F.col(vec).cast("array<double>").alias("v"),
+        ),
+        "neighbor_id",
+    ).withColumn("nv", _safe_norm(F.col("v")))
+    assigned = c.withColumn(
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v"), F.col("nv")))
+    ).select("neighbor_id", (-F.col("best.negcell")).alias("cell"), "v", "nv")
     q = queries.select(
         F.col(key).alias("query_id"), F.col(vec).cast("array<double>").alias("qv")
-    )
+    ).withColumn("nq", _safe_norm(F.col("qv")))
     probes = (
         q.withColumn(
-            "top", F.slice(F.reverse(F.array_sort(cell_sims(F.col("qv")))), 1, n_probe)
+            "top",
+            F.slice(
+                F.reverse(
+                    F.array_sort(_cell_sims_expr(cent_rows, F.col("qv"), F.col("nq")))
+                ),
+                1,
+                n_probe,
+            ),
         )
-        .select("query_id", F.explode("top").alias("pc"), "qv")
-        .select("query_id", (-F.col("pc.negcell")).alias("cell"), "qv")
+        .select("query_id", F.explode("top").alias("pc"), "qv", "nq")
+        .select("query_id", (-F.col("pc.negcell")).alias("cell"), "qv", "nq")
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (_safe_norm(F.col("qv")) * _safe_norm(F.col("v"))))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -340,34 +382,51 @@ def knn_graph(
     the N·k edge set. Zero Python anywhere.
     """
     cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
-    c = corpus.select(
-        F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
-    )
+    # per-row norms computed ONCE, before the cell sims (which would
+    # otherwise fold the norm once per centroid struct) and before the
+    # pair join (once per vector, not once per candidate pair) — the
+    # same float product either way
+    c = _spread(
+        corpus.select(
+            F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+        ),
+        "id",
+    ).withColumn("nv", _safe_norm(F.col("v")))
     assigned = c.withColumn(
-        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v")))
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v"), F.col("nv")))
     ).select(
-        F.col("id").alias("dst"), (-F.col("best.negcell")).alias("cell"), "v"
+        F.col("id").alias("dst"), (-F.col("best.negcell")).alias("cell"), "v", "nv"
     )
     probes = (
         c.withColumn(
             "top",
             F.slice(
-                F.reverse(F.array_sort(_cell_sims_expr(cent_rows, F.col("v")))),
+                F.reverse(
+                    F.array_sort(_cell_sims_expr(cent_rows, F.col("v"), F.col("nv")))
+                ),
                 1,
                 n_probe,
             ),
         )
-        .select(F.col("id").alias("src"), F.explode("top").alias("pc"), F.col("v").alias("qv"))
-        .select("src", (-F.col("pc.negcell")).alias("cell"), "qv")
+        .select(
+            F.col("id").alias("src"),
+            F.explode("top").alias("pc"),
+            F.col("v").alias("qv"),
+            F.col("nv").alias("nq"),
+        )
+        .select("src", (-F.col("pc.negcell")).alias("cell"), "qv", "nq")
     )
     scored = (
         assigned.join(probes, "cell")
         .filter(F.col("src") != F.col("dst"))
         .withColumn(
             "cosine",
-            _dot(F.col("qv"), F.col("v"))
-            / (_safe_norm(F.col("qv")) * _safe_norm(F.col("v"))),
+            _dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")),
         )
+        # project the vectors away BEFORE the top-k window: its sort
+        # shuffle otherwise carries both dim-d arrays per candidate
+        # pair (~16× the bytes of the three scalar columns)
+        .select("src", "dst", "cosine")
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     edges = (
@@ -489,11 +548,14 @@ def prototypes_prune(
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
     cent_rows = flat_centroids(corpus, n_cells=n_cells, key=key, vec=vec)
-    c = corpus.select(
-        F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
-    )
+    c = _spread(
+        corpus.select(
+            F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+        ),
+        "id",
+    ).withColumn("nv", _safe_norm(F.col("v")))
     assigned = c.withColumn(
-        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v")))
+        "best", F.array_max(_cell_sims_expr(cent_rows, F.col("v"), F.col("nv")))
     ).select("id", (-F.col("best.negcell")).alias("cell"), F.col("best.s").alias("pcos"))
     wr = Window.partitionBy("cell").orderBy(F.col("pcos").asc(), F.col("id").asc())
     wn = Window.partitionBy("cell")

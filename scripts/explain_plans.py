@@ -56,6 +56,18 @@ DEFAULT = [
     # tokenizer pair counting: partial-agg → pair-key exchange →
     # TakeOrderedAndProject (global top-k WITHOUT a global sort)
     "bpe_pairs",
+    # kNN graph: cell equi-join candidates (corpus × probes), per-src
+    # window top-k, one edge-set self-join for the mutual flag
+    "knn_graph",
+    # prototypes: narrow literal-centroid assignment; the only
+    # exchanges are the per-cell count + hardness-rank window
+    "prototypes_prune",
+    # label propagation: N·k-edge equi-join + vote agg + argmax window
+    # per round, lineage cut between rounds
+    "label_propagate",
+    # tf-idf: partial-agg tf/df, term equi-join (AQE skew-splittable),
+    # 1-row broadcast N, per-doc top-k window
+    "doc_tfidf",
 ]
 
 # queries whose semantics genuinely require one global exchange
