@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "doc_tfidf",
     "curation_funnel",
     "sample_split",
+    "stratified_sample",
+    "sketch_distinct",
     "domain_mix",
     "pii_redact",
     "decontaminate",

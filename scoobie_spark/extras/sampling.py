@@ -56,6 +56,37 @@ def hash_sample(
     return df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)) < thr)
 
 
+def stratified_sample(
+    df: DataFrame, key: str, group: str, n_per_group: int
+) -> DataFrame:
+    """Exact per-stratum quota sampling: keep the ``n_per_group`` rows
+    of every ``group`` with the smallest ``xxhash64(key)`` (key
+    tie-break) — the deterministic equivalent of equal-size stratified
+    random sampling (balanced eval sets, per-domain caps). Unlike
+    :func:`hash_sample`'s fraction filter, the quota is EXACT per
+    stratum regardless of stratum size, and the kept set is stable
+    under corpus growth for rows whose hash rank stays under the quota.
+
+    Returns ``(key, group, hash_rank ≤ n_per_group)``. Scale shape: one
+    hash-partitioned window per group (each stratum sorts only its own
+    rows); the hash order means no upstream sort or skew key — a
+    giant stratum is one partition, so for very hot groups raise the
+    shuffle partition count or pre-thin with :func:`hash_sample` (the
+    training_pairs skew-guard pattern)."""
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be > 0, got {n_per_group}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(
+        F.xxhash64(F.col(key)).asc(), F.col(key).asc()
+    )
+    return (
+        df.select(F.col(key), F.col(group))
+        .withColumn("hash_rank", F.row_number().over(w))
+        .filter(F.col("hash_rank") <= n_per_group)
+    )
+
+
 # --------------------------------------------------------------------------
 # DSIR-style importance selection
 # --------------------------------------------------------------------------

@@ -555,6 +555,93 @@ FROM b
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source quota sampling (extras.sampling.
+    stratified_sample): each source keeps its 10 smallest-hash docs
+    (xxhash64(doc_id) ASC, doc_id tie) — deterministic balanced-eval-set
+    cuts, oracled via the bit-exact hashLong replay."""
+    from .extras.sampling import stratified_sample
+
+    d = _T(spark, sf, "documents")
+    return stratified_sample(d, key="doc_id", group="source", n_per_group=10)
+
+
+def _sql_stratified_sample() -> str:
+    from .xxh64_sql import hashlong_sql
+
+    g0, g1, g2, g3, g4, g5, gf = hashlong_sql("ux", "42")
+    signed = (
+        f"CAST(CASE WHEN {gf} >= 9223372036854775808 THEN CAST({gf} AS HUGEINT)"
+        f" - 18446744073709551616 ELSE CAST({gf} AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN doc_id < 0 THEN CAST(doc_id AS HUGEINT) + 18446744073709551616
+                   ELSE CAST(doc_id AS HUGEINT) END AS UBIGINT) AS ux
+  FROM documents
+),
+h0 AS (SELECT doc_id, source, {g0} AS g0 FROM u),
+h1 AS (SELECT *, {g1} AS g1 FROM h0),
+h2 AS (SELECT *, {g2} AS g2 FROM h1),
+h3 AS (SELECT *, {g3} AS g3 FROM h2),
+h4 AS (SELECT *, {g4} AS g4 FROM h3),
+h5 AS (SELECT *, {g5} AS g5 FROM h4)
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY {signed} ASC, doc_id ASC) AS INT) AS hash_rank
+FROM h5
+QUALIFY hash_rank <= 10
+"""
+
+
+def q_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-token sketch per source (extras.sketches.
+    kmv_distinct — public spec, Bar-Yossef et al. 2002): k=64 minimum
+    distinct token hashes, estimate = 63·2^64 div u(h_64) in exact
+    integer arithmetic, exact count alongside. Oracled through the
+    bit-exact xxhash64 string replay."""
+    from .extras.sketches import kmv_distinct
+
+    d = _T(spark, sf, "documents")
+    return kmv_distinct(d, k=64, group="source")
+
+
+def _sql_sketch_distinct() -> str:
+    from .xxh64_sql import xxh64_string_ctes
+
+    ctes, final = xxh64_string_ctes("xt", "terms", "term", "grp, term")
+    numer = str(63 << 64)
+    kth_signed = (
+        "CAST(CASE WHEN kth >= 9223372036854775808 THEN CAST(kth AS HUGEINT)"
+        " - 18446744073709551616 ELSE CAST(kth AS HUGEINT) END AS BIGINT)"
+    )
+    return f"""
+WITH d0 AS (
+  SELECT source AS grp,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '[ \\t\\n\\r\\f\\v]+'),
+                     x -> length(x) > 0) AS ts
+  FROM documents
+), terms AS (
+  SELECT DISTINCT grp, unnest(ts) AS term FROM d0
+),
+{ctes}, hd AS (
+  SELECT DISTINCT grp, h FROM {final}
+), ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS r FROM hd
+), stats AS (
+  SELECT grp, count(*) AS n_distinct_exact, max(CASE WHEN r = 64 THEN h END) AS kth
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS source, n_distinct_exact,
+       coalesce({kth_signed}, 0) AS kth_min_hash,
+       CASE WHEN kth IS NULL THEN n_distinct_exact
+            ELSE CAST(CAST('{numer}' AS HUGEINT) // CAST(kth AS HUGEINT) AS BIGINT)
+       END AS est_distinct
+FROM stats
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     """DoReMi-style domain-mixture rebalancing (extras.sampling.
     domain_mix): integer target weight 1+(source idx mod 4) per domain,
@@ -3253,6 +3340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prototypes_prune": q_prototypes_prune,
         "label_propagate": q_label_propagate,
         "doc_tfidf": q_doc_tfidf,
+        "stratified_sample": q_stratified_sample,
+        "sketch_distinct": q_sketch_distinct,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3345,6 +3434,8 @@ def oracle_sql() -> dict[str, str]:
         "prototypes_prune": SQL_PROTOTYPES_PRUNE,
         "label_propagate": _sql_label_propagate(),
         "doc_tfidf": SQL_DOC_TFIDF,
+        "stratified_sample": _sql_stratified_sample(),
+        "sketch_distinct": _sql_sketch_distinct(),
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,

@@ -194,6 +194,38 @@ def test_hash_split(spark):
         hash_split(d, "k", {"a": 0.5, "b": 0.4})
 
 
+def test_stratified_sample_exact_quota(spark):
+    from scoobie_spark.extras.sampling import stratified_sample
+
+    d = (
+        spark.range(300)
+        .withColumnRenamed("id", "k")
+        .withColumn("grp", (F.col("k") % 4).cast("string"))
+    )
+    out = stratified_sample(d, key="k", group="grp", n_per_group=7).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert set(by_grp) == {"0", "1", "2", "3"}
+    assert all(len(v) == 7 for v in by_grp.values())
+    # kept = lowest-hash prefix per group (replay via Spark's own hash)
+    hashes = {
+        r["k"]: r["h"]
+        for r in d.select("k", F.xxhash64("k").alias("h")).collect()
+    }
+    for g, rows in by_grp.items():
+        members = sorted(
+            (k for k in hashes if str(k % 4) == g), key=lambda k: (hashes[k], k)
+        )
+        rows.sort(key=lambda r: r["hash_rank"])
+        assert [r["k"] for r in rows] == members[:7]
+    # quota larger than the stratum keeps everything
+    small = stratified_sample(d.filter("k < 6"), "k", "grp", 99).collect()
+    assert len(small) == 6
+    with pytest.raises(ValueError):
+        stratified_sample(d, "k", "grp", 0)
+
+
 def test_token_counts(spark, docs):
     t = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
     assert t[0]["ws_tokens"] == 14
@@ -612,6 +644,44 @@ def test_boilerplate_line_removal(spark):
     )
     outs = remove_boilerplate_lines(short, min_docs=5).collect()
     assert all(r["cleaned"].startswith("ok\n") for r in outs)
+
+
+def test_kmv_distinct_sketch(spark):
+    from scoobie_spark.extras.sketches import kmv_distinct
+
+    rows = []
+    # group "big": 600 distinct tokens across docs; "small": 5 distinct
+    for d in range(30):
+        toks = " ".join(f"tok{d}_{i}" for i in range(20))
+        rows.append((d, "big", toks))
+    rows.append((100, "small", "a b c a b"))
+    rows.append((101, "small", "c d e"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in kmv_distinct(df, k=64).collect()}
+    # small group: < k distinct -> exact passthrough, kth null -> 0
+    assert out["small"]["n_distinct_exact"] == 5
+    assert out["small"]["est_distinct"] == 5
+    assert out["small"]["kth_min_hash"] == 0
+    big = out["big"]
+    assert big["n_distinct_exact"] == 600
+    # replay: kth smallest unsigned hash via Spark's own xxhash64
+    hs = sorted(
+        r["h"] % (1 << 64)
+        for r in df.filter("source = 'big'")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        .select(F.xxhash64("t").alias("h"))
+        .distinct()
+        .collect()
+    )
+    kth = hs[63]
+    assert big["kth_min_hash"] % (1 << 64) == kth
+    assert big["est_distinct"] == (63 << 64) // kth
+    # the estimate lands in the sketch's expected error band (~1/sqrt(k))
+    assert 300 < big["est_distinct"] < 1200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct(df, k=1)
 
 
 def test_doc_tfidf_matches_brute_force(spark):
