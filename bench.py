@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sample_split",
     "stratified_sample",
     "sketch_distinct",
+    "length_percentiles",
     "domain_mix",
     "pii_redact",
     "decontaminate",

@@ -465,6 +465,56 @@ def doc_tfidf(
     )
 
 
+def length_percentiles(
+    docs: DataFrame,
+    group: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-``group`` token-length distribution summary
+    ``(group, n_docs, p50_tokens, p90_tokens, p99_tokens)`` — the
+    corpus-panorama numbers a packing/truncation policy is tuned on.
+
+    Percentiles are EXACT lower quantiles computed from the per-group
+    length histogram: p = the smallest length whose cumulative doc
+    count reaches ``ceil(q·n_docs)``, with the threshold in pure
+    integer arithmetic (``(n·q_num + 99) div 100``) — no
+    interpolation, no float, value-replayable in SQL.
+
+    Scale shape: the (group, length) histogram is a map-side-combinable
+    aggregation; the cumulative window runs over each group's DISTINCT
+    lengths (bounded by the length alphabet, not the corpus). This is
+    the histogram route production percentile jobs take — Spark's exact
+    ``percentile`` aggregate buffers every value per group instead."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    hist = (
+        docs.select(F.col(group).alias("grp"), n_tokens.cast("long").alias("n"))
+        .groupBy("grp", "n")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("grp").orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "tot", F.sum("c").over(w_tot)
+    )
+
+    def pick(q_num: int):
+        thr = F.expr(f"(tot * {q_num} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= thr, F.col("n")))
+
+    return cum.groupBy(F.col("grp").alias(group)).agg(
+        F.max("tot").alias("n_docs"),
+        pick(50).alias("p50_tokens"),
+        pick(90).alias("p90_tokens"),
+        pick(99).alias("p99_tokens"),
+    )
+
+
 # boilerplate-line thresholds (RefinedWeb/CCNet-style): a line is
 # boilerplate when it is at least MIN_BOILER_CHARS long AND appears in
 # at least `min_docs` distinct documents

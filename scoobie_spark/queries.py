@@ -642,6 +642,40 @@ FROM stats
 """
 
 
+def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-length percentiles (textstats.length_percentiles):
+    exact lower quantiles from the per-source length histogram with
+    pure-integer thresholds — the histogram route production percentile
+    jobs take at scale."""
+    d = _T(spark, sf, "documents")
+    return textstats.length_percentiles(d)
+
+
+SQL_LENGTH_PERCENTILES = r"""
+WITH lens AS (
+  SELECT source AS grp,
+         CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\r\f\v]+'))
+         END AS n
+  FROM documents
+), hist AS (
+  SELECT grp, n, count(*) AS c FROM lens GROUP BY 1, 2
+), cum AS (
+  SELECT grp, n, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY n
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS tot
+  FROM hist
+)
+SELECT grp AS source, max(tot) AS n_docs,
+       min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN n END) AS p50_tokens,
+       min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN n END) AS p90_tokens,
+       min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN n END) AS p99_tokens
+FROM cum
+GROUP BY 1
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     """DoReMi-style domain-mixture rebalancing (extras.sampling.
     domain_mix): integer target weight 1+(source idx mod 4) per domain,
@@ -3342,6 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": q_doc_tfidf,
         "stratified_sample": q_stratified_sample,
         "sketch_distinct": q_sketch_distinct,
+        "length_percentiles": q_length_percentiles,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3436,6 +3471,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf": SQL_DOC_TFIDF,
         "stratified_sample": _sql_stratified_sample(),
         "sketch_distinct": _sql_sketch_distinct(),
+        "length_percentiles": SQL_LENGTH_PERCENTILES,
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,

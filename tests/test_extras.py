@@ -646,6 +646,26 @@ def test_boilerplate_line_removal(spark):
     assert all(r["cleaned"].startswith("ok\n") for r in outs)
 
 
+def test_length_percentiles_exact_lower_quantile(spark):
+    rows = []
+    # group A: lengths 1..100 (one doc each) -> p50=50, p90=90, p99=99
+    for i in range(1, 101):
+        rows.append((i, "A", " ".join(["w"] * i)))
+    # group B: 3 docs incl. an empty one -> lengths {0, 2, 5}
+    rows += [(201, "B", ""), (202, "B", "a b"), (203, "B", "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in textstats.length_percentiles(df).collect()}
+    a = out["A"]
+    assert (a["n_docs"], a["p50_tokens"], a["p90_tokens"], a["p99_tokens"]) == (
+        100, 50, 90, 99,
+    )
+    b = out["B"]
+    # thresholds for n=3: ceil(1.5)=2 -> 2nd value (2), ceil(2.7)=3 -> 5
+    assert (b["n_docs"], b["p50_tokens"], b["p90_tokens"], b["p99_tokens"]) == (
+        3, 2, 5, 5,
+    )
+
+
 def test_kmv_distinct_sketch(spark):
     from scoobie_spark.extras.sketches import kmv_distinct
 
