@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "domain_mix",
     "pii_redact",
     "decontaminate",
+    "decontaminate_semantic",
     "code_quality",
     "license_detect",
     "dedup_incremental",

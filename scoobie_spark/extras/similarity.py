@@ -282,6 +282,59 @@ def semdedup(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    tau: float = 0.35,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic
+    complement of the n-gram ``extras.decontam`` pass — the modern
+    LLM-training hygiene step: drop training items too close to an
+    eval-set item in embedding space, as n-gram overlap misses
+    paraphrases). Flags every corpus item whose max cosine to ANY
+    benchmark vector reaches ``tau``; reports the nearest benchmark id
+    (ties → lowest id) and the rounded cosine. Returns one row per
+    corpus item: ``(key, flagged ∈ {0,1}, top_bench_id, top_cosine)``.
+
+    Scale shape: eval suites are small by construction, so the
+    benchmark side BROADCASTS (no quantizer, exact by definition —
+    the right plan when |bench| ≪ |corpus|); the per-item max is a
+    map-side-combinable struct-max aggregation, norms hoisted per row.
+    Zero Python; the whole operator replays in ANSI SQL."""
+    c = _spread(
+        corpus.select(
+            F.col(key).alias("id"), F.col(vec).cast("array<double>").alias("v")
+        ),
+        "id",
+    ).withColumn("nv", _safe_norm(F.col("v")))
+    b = benchmark.select(
+        F.col(key).alias("bid"), F.col(vec).cast("array<double>").alias("bv")
+    ).withColumn("nb", _safe_norm(F.col("bv")))
+    top = (
+        c.crossJoin(F.broadcast(b))
+        .withColumn(
+            "cosine", _dot(F.col("v"), F.col("bv")) / (F.col("nv") * F.col("nb"))
+        )
+        .groupBy("id")
+        .agg(F.max(F.struct(F.col("cosine").alias("s"), (-F.col("bid")).alias("negb"))).alias("t"))
+        .select("id", F.col("t.s").alias("top_cos"), (-F.col("t.negb")).alias("top_bid"))
+    )
+    return (
+        c.select("id")
+        .join(top, "id", "left")
+        .select(
+            F.col("id").alias(key),
+            F.when(F.col("top_cos") >= F.lit(float(tau)), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("flagged"),
+            F.coalesce(F.col("top_bid"), F.lit(-1).cast("long")).alias("top_bench_id"),
+            F.round(F.coalesce(F.col("top_cos"), F.lit(0.0)), 4).alias("top_cosine"),
+        )
+    )
+
+
 def ivf_flat_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2327,6 +2327,42 @@ FROM asg a LEFT JOIN kills k ON a.id = k.b
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (similarity.
+    semantic_decontaminate): vec_id % 20 == 0 plays the benchmark
+    suite, the rest the training corpus; flag corpus vectors whose max
+    cosine to any benchmark vector reaches 0.35 (the family's eps).
+    Broadcast benchmark, exact arithmetic — the SQL twin replays the
+    whole decision."""
+    e = _T(spark, sf, "embeddings")
+    bench = e.filter(F.pmod(F.col("vec_id"), F.lit(20)) == 0)
+    corpus = e.filter(F.pmod(F.col("vec_id"), F.lit(20)) != 0)
+    return similarity.semantic_decontaminate(corpus, bench, tau=0.35)
+
+
+SQL_DECONTAM_SEMANTIC = r"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 20 <> 0),
+sc AS (
+  SELECT c.id, b.bid,
+         list_inner_product(c.v, b.bv)
+           / (greatest(sqrt(list_inner_product(c.v, c.v)), 1e-9)
+              * greatest(sqrt(list_inner_product(b.bv, b.bv)), 1e-9)) AS cosine
+  FROM c CROSS JOIN b
+), top AS (
+  SELECT id, bid, cosine,
+         row_number() OVER (PARTITION BY id ORDER BY cosine DESC, bid) AS rn
+  FROM sc
+)
+SELECT id AS vec_id,
+       CASE WHEN cosine >= 0.35 THEN 1 ELSE 0 END AS flagged,
+       bid AS top_bench_id,
+       round(cosine, 4) AS top_cosine
+FROM top WHERE rn = 1
+"""
+
+
 def q_prototypes_prune(spark: SparkSession, sf: str) -> DataFrame:
     """SSL-prototypes data pruning (similarity.prototypes_prune — public
     spec, Sorscher et al. 2022): FLAT hash-quantized cells, difficulty =
@@ -3377,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sketch_distinct": q_sketch_distinct,
         "length_percentiles": q_length_percentiles,
+        "decontaminate_semantic": q_decontaminate_semantic,
         "bpe_pairs": q_bpe_pairs,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3472,6 +3509,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified_sample(),
         "sketch_distinct": _sql_sketch_distinct(),
         "length_percentiles": SQL_LENGTH_PERCENTILES,
+        "decontaminate_semantic": SQL_DECONTAM_SEMANTIC,
         "bpe_pairs": SQL_BPE_PAIRS,
         "events_sessionize": SQL_SESSIONIZE,
         "events_hourly": SQL_HOURLY,

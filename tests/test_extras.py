@@ -646,6 +646,41 @@ def test_boilerplate_line_removal(spark):
     assert all(r["cleaned"].startswith("ok\n") for r in outs)
 
 
+def test_semantic_decontaminate_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 8)).astype("float64")
+    vecs[17] = vecs[2] * 1.5  # corpus vec 17 ~ bench vec 2 (cos = 1)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = emb.filter("vec_id < 5")
+    corpus = emb.filter("vec_id >= 5")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_decontaminate(corpus, bench, tau=0.9).collect()
+    }
+    assert len(out) == 45
+    norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-9)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for i in range(5, 50):
+        best = min(range(5), key=lambda b: (-sims[i, b], b))
+        r = out[i]
+        assert r["top_bench_id"] == best, (i, r)
+        assert abs(r["top_cosine"] - round(sims[i, best], 4)) < 1e-9
+        assert r["flagged"] == (1 if sims[i, best] >= 0.9 else 0)
+    assert out[17]["flagged"] == 1 and out[17]["top_bench_id"] == 2
+    assert sum(r["flagged"] for r in out.values()) == 1
+    # empty benchmark flags nothing and keeps every corpus row
+    none = similarity.semantic_decontaminate(
+        corpus, bench.filter("vec_id < 0"), tau=0.9
+    ).collect()
+    assert len(none) == 45
+    assert all(r["flagged"] == 0 and r["top_bench_id"] == -1 for r in none)
+
+
 def test_length_percentiles_exact_lower_quantile(spark):
     rows = []
     # group A: lengths 1..100 (one doc each) -> p50=50, p90=90, p99=99
