@@ -412,6 +412,7 @@ def knn_graph(
     n_probe: int = 4,
     key: str = "vec_id",
     vec: str = "embedding",
+    mutual: bool = True,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus
     ``(src, dst, cosine, rank, mutual)`` — every vector is a query.
@@ -482,15 +483,17 @@ def knn_graph(
         .select("src", "dst", "cosine")
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    edges = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("src", "dst", "cosine", "rank")
-        # the mutual join references the edge set twice; a lazy
-        # localCheckpoint runs the candidate join + window once (the
-        # dedup-family pattern — cache() would pin executor storage)
-        .localCheckpoint(eager=False)
-    )
+    edges = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    ).select("src", "dst", "cosine", "rank")
+    if not mutual:
+        # consumers that only need the directed edge set (e.g. label
+        # propagation) skip the N·k edge self-join entirely
+        return edges
+    # the mutual join references the edge set twice; a lazy
+    # localCheckpoint runs the candidate join + window once (the
+    # dedup-family pattern — cache() would pin executor storage)
+    edges = edges.localCheckpoint(eager=False)
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m")
     )
@@ -539,7 +542,10 @@ def label_propagate(
         & F.col("y").isNotNull(),
     ).localCheckpoint(eager=False)
     edges = (
-        knn_graph(corpus, k=k, n_cells=n_cells, n_probe=n_probe, key=key, vec=vec)
+        knn_graph(
+            corpus, k=k, n_cells=n_cells, n_probe=n_probe, key=key, vec=vec,
+            mutual=False,
+        )
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
