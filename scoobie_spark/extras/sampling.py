@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..pipeline import spread_if_narrow
+
 
 def hash_split(
     df: DataFrame,
@@ -151,7 +153,8 @@ def dsir_select(
     # corpus gets its own (usually much smaller) pass — it need not be
     # a subset of ``docs``.
     doc_b = (
-        docs.select(F.col(key).alias("doc_id"), F.explode(_grams(text)).alias("g"))
+        spread_if_narrow(docs, key)
+        .select(F.col(key).alias("doc_id"), F.explode(_grams(text)).alias("g"))
         .groupBy("doc_id", bucket(F.col("g")).alias("b"))
         .agg(F.count("*").alias("c"))
         .localCheckpoint()

@@ -50,6 +50,9 @@ def kmv_distinct(
     ever needs the k smallest."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    from ..pipeline import spread_if_narrow
+
+    docs = spread_if_narrow(docs, key)
     t = F.coalesce(F.col(text), F.lit(""))
     toks = docs.select(
         F.col(group).alias("grp"),

@@ -96,6 +96,9 @@ def bpe_pair_counts(
     NULL/empty/one-token docs contribute nothing (the guard matters:
     ``sequence(1, 0)`` would DESCEND, fabricating an out-of-range
     index, not return empty)."""
+    from ..pipeline import spread_if_narrow
+
+    docs = spread_if_narrow(docs, key)
     toks = F.split(F.trim(F.coalesce(F.col(text), F.lit(""))), r"\s+")
     idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
         F.array().cast("array<int>")
@@ -116,7 +119,11 @@ def language_id(docs: DataFrame, key: str = "doc_id", text: str = "text") -> Dat
     """Stopword-vote language guess (B2-equivalent; reference used Nutch
     LanguageIdentifier, LanguageIdentification.java:55-84). Arrow-batched;
     'und' when nothing votes."""
-    cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
+    from ..pipeline import spread_if_narrow
+
+    cols = spread_if_narrow(
+        docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text")), "doc_id"
+    )
 
     import re
 
@@ -171,6 +178,9 @@ def repetition_scores(docs: DataFrame, key: str = "doc_id", text: str = "text") 
     whole-stage codegen): per-doc n-gram counts are bounded by doc
     length, so no hot keys — the 100 TB shape is three map-side-combined
     aggregations joined on doc_id."""
+    from ..pipeline import spread_if_narrow
+
+    docs = spread_if_narrow(docs, key)
     toks = docs.select(
         F.col(key).alias("doc_id"),
         F.filter(
@@ -251,7 +261,11 @@ def fingerprints(
 
     from ._polyhash import seg_prefix_hash, token_hashes
 
-    cols = docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text"))
+    from ..pipeline import spread_if_narrow
+
+    cols = spread_if_narrow(
+        docs.select(F.col(key).alias("doc_id"), F.col(text).alias("text")), "doc_id"
+    )
 
     # docs containing non-ASCII whitespace take the per-doc tokenize
     # path (python str.split splits on these; the byte tokenizer would
@@ -377,6 +391,9 @@ def lm_quality(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (smooths empty buckets), got {alpha}")
     B = n_buckets
+    from ..pipeline import spread_if_narrow
+
+    docs = spread_if_narrow(docs, key)
     doc_b = (
         docs.select(F.col(key).alias("doc_id"), F.explode(_grams(text)).alias("g"))
         .groupBy("doc_id", F.pmod(F.xxhash64("g"), F.lit(B)).alias("b"))
@@ -433,6 +450,9 @@ def doc_tfidf(
     terms are exactly the low-idf ones so no pruning shortcut is safe.
     The corpus size ships back as a 1-row broadcast; the final top-k is
     a per-doc window bounded by document vocabulary."""
+    from ..pipeline import spread_if_narrow
+
+    docs = spread_if_narrow(docs, key)
     t = F.coalesce(F.col(text), F.lit(""))
     toks = docs.select(
         F.col(key).alias("doc_id"),
@@ -551,6 +571,9 @@ def remove_boilerplate_lines(
     makes; the DuckDB oracle joins on the line STRINGS, so the
     differential also guards the hash shortcut.
     """
+    from ..pipeline import spread_if_narrow
+
+    docs = spread_if_narrow(docs, key)
     t = F.coalesce(F.col(text), F.lit(""))
     lines = docs.select(
         F.col(key).alias("doc_id"),

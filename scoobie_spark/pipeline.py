@@ -208,6 +208,24 @@ def _source_parallelism(docs: DataFrame) -> int:
     return plan.execute().getNumPartitions()
 
 
+def spread_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Generic gated input spread for operator-library entry points:
+    repartition ``df`` across default parallelism by
+    ``xxhash64(key_cols)`` ONLY when the source plan has fewer
+    partitions (a single-split parquet file, a hand-built DataFrame) —
+    otherwise the operator's narrow pre-shuffle compute (token
+    explodes, per-row quantizer folds, regex scans) serializes on one
+    task. Same policy as :func:`spread_input` (which additionally
+    honors the flagship's cfg.salt_partitions); a byte-split 100 TB
+    scan already has the partitions, so at scale this is a no-op and
+    no blanket shuffle is paid."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if _source_parallelism(df) < target:
+        return df.repartition(target, F.xxhash64(*[F.col(c) for c in key_cols]))
+    return df
+
+
 def spread_input(spark: SparkSession, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Skew-spread the input corpus ONLY when the source is
     under-parallel (one giant file / a hand-built DataFrame): at 100 TB
