@@ -65,15 +65,14 @@ def _spread(docs: DataFrame, key: str) -> DataFrame:
     A small corpus (one parquet file → one or two scan splits) would
     otherwise serialize the whole tokenize/shingle/hash work into a
     single task — measured 5.1 s single-task vs 0.8 s spread for the
-    sf0.1 shingle build. Fires only when the input arrives with fewer
-    partitions than half the configured parallelism, so a production
-    table (thousands of splits at 100 TB) never pays the extra text
-    shuffle; partitioning on the doc key keeps the layout aligned with
-    every downstream per-doc aggregate."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(target // 2, 2):
-        return docs.repartition(target, key)
-    return docs
+    sf0.1 shingle build. Delegates to the shared plan-based gate
+    (pipeline.spread_if_narrow): the previous ``docs.rdd
+    .getNumPartitions()`` probe materializes every upstream query
+    stage under AQE — a real job — when the input is a composed frame
+    rather than a raw scan."""
+    from ..pipeline import spread_if_narrow
+
+    return spread_if_narrow(docs, key)
 
 
 def shingles(docs: DataFrame, n: int = 3, key: str = "doc_id", text: str = "text") -> DataFrame:

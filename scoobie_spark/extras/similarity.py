@@ -156,20 +156,13 @@ def flat_centroids(
 
 def _spread(df: DataFrame, key_col: str) -> DataFrame:
     """Spread an under-parallel source before the narrow per-row
-    quantizer compute: the cell-sims expression folds one dot per
-    centroid per row, and a small single-split parquet (or a
-    hand-built DataFrame) would otherwise serialize that whole
-    pre-shuffle stage on ONE core. Gated on the static plan's
-    partition count exactly like the flagship's ``spread_input``
-    (pipeline.py): a 100 TB parquet scan is already byte-split, so at
-    scale this is a no-op and no blanket shuffle is paid."""
-    from ..pipeline import _source_parallelism
+    quantizer compute (the cell-sims expression folds one dot per
+    centroid per row). Delegates to the shared plan-based gate
+    (pipeline.spread_if_narrow): a 100 TB parquet scan is already
+    byte-split, so at scale this is a no-op."""
+    from ..pipeline import spread_if_narrow
 
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if _source_parallelism(df) < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+    return spread_if_narrow(df, key_col)
 
 
 def _py_norm(xs):
