@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "knn_graph",
     "prototypes_prune",
     "label_propagate",
+    "code_import_edges",
+    "repo_dependencies",
+    "repo_pagerank",
+    "symbol_ambiguity",
+    "symbol_xref",
 ]
 
 

@@ -228,21 +228,85 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, alpha: float = 0.1, max_iter: int = 15) -> DataFrame:
+def _pagerank_local(
+    spark, nodes: DataFrame, edges: DataFrame, alpha: float, max_iter: int
+) -> DataFrame | None:
+    """Driver-side power iteration for sub-threshold graphs: the same
+    recurrence as the distributed loop over factorized node codes
+    (``np.add.at`` accumulation — deterministic f64, same modulo
+    summation order, which the 6-decimal float policy absorbs; the
+    differential test asserts agreement to 1e-9). Returns None when any
+    key is NULL — comparisons under ``np.unique`` would be undefined;
+    the distributed path's joins drop them consistently instead."""
+    import numpy as np
+
+    node_dt = nodes.schema["node"].dataType
+    npd = nodes.toPandas()["node"]
+    ep = edges.toPandas()
+    if npd.isna().any() or ep["src"].isna().any() or ep["dst"].isna().any():
+        return None
+    nv = npd.to_numpy()
+    uniq, codes = np.unique(
+        np.concatenate([nv, ep["src"].to_numpy(), ep["dst"].to_numpy()]),
+        return_inverse=True,
+    )
+    nn, ne = len(nv), len(ep)
+    cs, cd = codes[nn:nn + ne], codes[nn + ne:]
+    outdeg = np.bincount(cs, minlength=len(uniq)).astype(np.float64)
+    r = np.ones(len(uniq), dtype=np.float64)
+    for _ in range(max_iter):
+        contrib = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(contrib, cd, r[cs] / outdeg[cs])
+        r = alpha + (1 - alpha) * contrib
+    node_codes = codes[:nn]
+    out = pd.DataFrame({"node": uniq[node_codes], "rank": r[node_codes]})
+    schema = T.StructType(
+        [T.StructField("node", node_dt), T.StructField("rank", T.DoubleType())]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.1,
+    max_iter: int = 15,
+    local_threshold: int = 1 << 20,
+) -> DataFrame:
     """Power iteration PageRank: rank = alpha + (1-alpha)·Σ rank/out_deg.
 
     The reference's PageRankBasedResolver uses JUNG's PageRank with
     alpha=0.1 (PageRankBasedResolver.java:44-85); same recurrence here,
-    one join+aggregate per iteration, lineage cut each round.
+    one join+aggregate per iteration, lineage cut each round. The edge
+    list and out-degree table are materialized once up front (lazy
+    localCheckpoint) — every iteration joins them, and without the cut
+    an expensive upstream (e.g. the codegraph dependency extraction)
+    would re-execute max_iter times.
+
+    Sub-threshold graphs take a driver-side numpy power iteration
+    instead (same size-vs-strategy policy as
+    :func:`connected_components`, which pays several fixed-overhead
+    jobs per round ×  max_iter here — ~30 jobs for a 100-node repo
+    graph). The probe reuses the already-materialized node set plus one
+    edge count; ``local_threshold=0`` forces the distributed path (the
+    scale tests do).
     """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("out_deg")
+    if local_threshold and nodes.count() <= local_threshold:
+        if nodes.count() + edges.count() <= local_threshold:
+            local = _pagerank_local(spark, nodes, edges, alpha, max_iter)
+            if local is not None:
+                return local
+    out_deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(max_iter):
@@ -258,6 +322,10 @@ def pagerank(edges: DataFrame, alpha: float = 0.1, max_iter: int = 15) -> DataFr
             .select(
                 "node", (F.lit(alpha) + F.lit(1 - alpha) * F.col("inflow")).alias("rank")
             )
+            # eager on purpose: measured against eager=False (one action
+            # over 15 chained shuffles), per-iteration materialization is
+            # ~2x faster here — the deep lazy chain defeats AQE's
+            # stage-by-stage sizing and pays it back with interest
             .localCheckpoint()
         )
     return ranks

@@ -3360,6 +3360,236 @@ def q_flagship_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(spark, corpus, kb, PipelineConfig(materialize_kb=False))
 
 
+# --- code knowledge graph (extras/codegraph.py) --------------------------
+#
+# The input_hint repo-file table, synthesized deterministically from the
+# documents table (same contract as _code_file): repo r<doc_id%97>, path
+# src/m<doc_id>.py, and content with real import / def / class / call
+# structure so every codegraph operator has signal. The SQL twin builds
+# the identical bytes, so the oracles replay extraction, the dependency
+# join, ambiguity counts, unique-sense linking and the f64 PageRank.
+
+
+def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
+    """(repo, path, content): deterministic code corpus. File doc_id
+    imports modules m<a>/m<b> (a=(7d+3)%500, b=(11d+5)%500 — both
+    resolve to defining files at every sf), defines f<d>, g<d> (unique
+    symbols) and C<d%13> (13 hot ambiguous class names), and calls
+    f<a>, f<b>, C<(3d+1)%13> — for d≡6 (mod 13) the called class is the
+    file's OWN class, exercising the own-def anti-join."""
+    from .pipeline import spread_if_narrow
+
+    d = _T(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    a = s(F.pmod(did * 7 + 3, F.lit(500)))
+    b = s(F.pmod(did * 11 + 5, F.lit(500)))
+    e = s(F.pmod(did * 3 + 1, F.lit(13)))
+    k = s(F.pmod(did, F.lit(13)))
+    i = s(did)
+    content = F.concat(
+        F.lit("# "), F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        F.lit("\nimport m"), a,
+        F.lit("\nfrom m"), b, F.lit(" import f"), b,
+        F.lit("\ndef f"), i, F.lit("(x):\n    return m"), a, F.lit(".f"), a,
+        F.lit("(x) + f"), b, F.lit("(x) + "), i,
+        F.lit("\nclass C"), k, F.lit(":\n    def g"), i,
+        F.lit("(self):\n        return C"), e, F.lit("(f"), a, F.lit("(1))\n"),
+    )
+    files = d.select(
+        F.concat(F.lit("r"), s(F.pmod(did, F.lit(97)))).alias("repo"),
+        F.concat(F.lit("src/m"), i, F.lit(".py")).alias("path"),
+        content.alias("content"),
+    )
+    return spread_if_narrow(files, "path")
+
+
+_SQL_REPO_FILES = """files AS (
+  SELECT 'r' || CAST(doc_id % 97 AS VARCHAR) AS repo,
+         'src/m' || i || '.py' AS path,
+         '# ' || substr(coalesce(text, ''), 1, 40) ||
+         chr(10) || 'import m' || a ||
+         chr(10) || 'from m' || b || ' import f' || b ||
+         chr(10) || 'def f' || i || '(x):' ||
+         chr(10) || '    return m' || a || '.f' || a || '(x) + f' || b || '(x) + ' || i ||
+         chr(10) || 'class C' || k || ':' ||
+         chr(10) || '    def g' || i || '(self):' ||
+         chr(10) || '        return C' || e || '(f' || a || '(1))' || chr(10) AS content
+  FROM (SELECT doc_id, text,
+               CAST(doc_id AS VARCHAR) AS i,
+               CAST((doc_id * 7 + 3) % 500 AS VARCHAR) AS a,
+               CAST((doc_id * 11 + 5) % 500 AS VARCHAR) AS b,
+               CAST((doc_id * 3 + 1) % 13 AS VARCHAR) AS e,
+               CAST(doc_id % 13 AS VARCHAR) AS k
+        FROM documents)
+)"""
+
+
+def _sql_codegraph_ctes() -> str:
+    """Shared extraction CTEs: the same regex constants the engine
+    compiles (extras/codegraph.py), applied by DuckDB's RE2 — the
+    pattern subset has identical semantics in both engines."""
+    from .extras import codegraph as cg
+
+    return f"""{_SQL_REPO_FILES},
+imports AS (
+  SELECT DISTINCT repo, path, module FROM (
+    SELECT repo, path, unnest(regexp_extract_all(content, '{cg.IMPORT_RE}', 1)) AS module FROM files
+    UNION ALL
+    SELECT repo, path, unnest(regexp_extract_all(content, '{cg.FROM_RE}', 1)) AS module FROM files
+  )
+),
+mdefs AS (
+  SELECT DISTINCT regexp_extract(path, '{cg.MODULE_RE}', 1) AS module, repo AS def_repo
+  FROM files WHERE regexp_extract(path, '{cg.MODULE_RE}', 1) <> ''
+),
+mkeep AS (SELECT module FROM mdefs GROUP BY module HAVING count(*) <= {cg.MAX_DEF_REPOS}),
+deps AS (
+  SELECT i.repo AS src_repo, d.def_repo AS dst_repo, CAST(count(*) AS BIGINT) AS weight
+  FROM imports i JOIN mdefs d USING (module) JOIN mkeep USING (module)
+  WHERE i.repo <> d.def_repo
+  GROUP BY 1, 2
+),
+sdefs AS (
+  SELECT DISTINCT repo, path, symbol, kind FROM (
+    SELECT repo, path, unnest(regexp_extract_all(content, '{cg.DEF_RE}', 1)) AS symbol, 'def' AS kind FROM files
+    UNION ALL
+    SELECT repo, path, unnest(regexp_extract_all(content, '{cg.CLASS_RE}', 1)) AS symbol, 'class' AS kind FROM files
+  )
+)"""
+
+
+def q_code_import_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Import extraction (extras.codegraph.import_edges): distinct
+    modules per file from `import x` / `from x import y`, aggregated
+    to (repo, module, n_files). Scan-fused regexp_extract_all — the
+    exchange moves identifier tokens, never file text."""
+    from .extras import codegraph
+
+    files = _repo_files(spark, sf)
+    return (
+        codegraph.import_edges(files)
+        .groupBy("repo", "module")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+def _sql_code_import_edges() -> str:
+    return f"""WITH {_sql_codegraph_ctes()}
+SELECT repo, module, CAST(count(*) AS BIGINT) AS n_files
+FROM imports GROUP BY 1, 2"""
+
+
+def q_repo_dependencies(spark: SparkSession, sf: str) -> DataFrame:
+    """Repo dependency graph (extras.codegraph.repo_dependencies):
+    imports joined to the module-defining repo, cross-repo only, with
+    the vendored-copy / join-skew cap applied before the join."""
+    from .extras import codegraph
+
+    return codegraph.repo_dependencies(_repo_files(spark, sf))
+
+
+def _sql_repo_dependencies() -> str:
+    return f"""WITH {_sql_codegraph_ctes()}
+SELECT src_repo, dst_repo, weight FROM deps"""
+
+
+def q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the repo dependency graph
+    (extras.codegraph.repo_rank → graph.pagerank, the reference's
+    PageRankBasedResolver recurrence at corpus scale). Rounded to 6
+    decimals in BOTH engines (float policy, module header)."""
+    from .extras import codegraph
+
+    deps = codegraph.repo_dependencies(_repo_files(spark, sf))
+    return codegraph.repo_rank(deps).select(
+        "repo", F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_repo_pagerank(iters: int = 15) -> str:
+    """15 unrolled damped f64 iterations (same recurrence as
+    graph.pagerank: r = 0.1 + 0.9·Σ r/outdeg from r0 = 1; the unrolled
+    plain-WITH chain is the _pagerank_score_sql pattern from
+    flagship_sql.py at repo granularity)."""
+    ctes = [
+        _sql_codegraph_ctes(),
+        """nodes AS (
+  SELECT DISTINCT repo FROM (
+    SELECT src_repo AS repo FROM deps UNION ALL SELECT dst_repo FROM deps)
+)""",
+        """outs AS (
+  SELECT src_repo, CAST(count(*) AS DOUBLE) AS od FROM deps GROUP BY 1
+)""",
+        "pr0 AS (SELECT repo, CAST(1.0 AS DOUBLE) AS r FROM nodes)",
+    ]
+    for n in range(1, iters + 1):
+        ctes.append(f"""pr{n} AS MATERIALIZED (
+  SELECT n.repo, 0.1 + 0.9 * coalesce(c.con, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst_repo AS repo, sum(p.r / o.od) AS con
+    FROM deps e
+    JOIN pr{n - 1} p ON p.repo = e.src_repo
+    JOIN outs o ON o.src_repo = e.src_repo
+    GROUP BY 1) c ON c.repo = n.repo
+)""")
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT repo, round(r, 6) AS rank FROM pr{iters}"
+
+
+def q_symbol_ambiguity(spark: SparkSession, sf: str) -> DataFrame:
+    """Symbol-definition ambiguity (extras.codegraph.symbol_ambiguity)
+    — the gazetteer ambiguity view over code: def/class names defined
+    in more than one repo, with repo and definition-site counts."""
+    from .extras import codegraph
+
+    return codegraph.symbol_ambiguity(_repo_files(spark, sf))
+
+
+def _sql_symbol_ambiguity() -> str:
+    return f"""WITH {_sql_codegraph_ctes()}
+SELECT symbol,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(*) AS BIGINT) AS n_defs
+FROM sdefs GROUP BY symbol HAVING count(DISTINCT repo) > 1"""
+
+
+def q_symbol_xref(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-repo symbol linking (extras.codegraph.symbol_xref): call
+    sites minus own definitions, resolved to the unique defining repo
+    (ambiguous symbols reported by symbol_ambiguity, never linked)."""
+    from .extras import codegraph
+
+    return codegraph.symbol_xref(_repo_files(spark, sf))
+
+
+def _sql_symbol_xref() -> str:
+    from .extras import codegraph as cg
+
+    return f"""WITH {_sql_codegraph_ctes()},
+calls AS (
+  SELECT DISTINCT repo, path, symbol FROM (
+    SELECT repo, path, unnest(regexp_extract_all(content, '{cg.CALL_RE}', 1)) AS symbol FROM files)
+),
+owndef AS (SELECT DISTINCT repo, path, symbol FROM sdefs),
+xcalls AS (
+  SELECT c.repo, c.path, c.symbol FROM calls c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM owndef o
+    WHERE o.repo = c.repo AND o.path = c.path AND o.symbol = c.symbol)
+),
+udefs AS (
+  SELECT symbol, min(repo) AS def_repo
+  FROM (SELECT DISTINCT repo, symbol FROM sdefs)
+  GROUP BY symbol HAVING count(*) = 1
+)
+SELECT x.repo AS caller_repo, u.def_repo, x.symbol,
+       CAST(count(DISTINCT x.path) AS BIGINT) AS n_files
+FROM xcalls x JOIN udefs u USING (symbol)
+WHERE x.repo <> u.def_repo
+GROUP BY 1, 2, 3"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -3401,6 +3631,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "code_quality": q_code_quality,
+        "code_import_edges": q_code_import_edges,
+        "repo_dependencies": q_repo_dependencies,
+        "repo_pagerank": q_repo_pagerank,
+        "symbol_ambiguity": q_symbol_ambiguity,
+        "symbol_xref": q_symbol_xref,
         "license_detect": q_license_detect,
         "dedup_incremental": q_dedup_incremental,
         "code_secrets": q_code_secrets,
@@ -3497,6 +3732,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _sql_pii_redact(),
         "decontaminate": SQL_DECONTAMINATE,
         "code_quality": _sql_code_quality(),
+        "code_import_edges": _sql_code_import_edges(),
+        "repo_dependencies": _sql_repo_dependencies(),
+        "repo_pagerank": _sql_repo_pagerank(),
+        "symbol_ambiguity": _sql_symbol_ambiguity(),
+        "symbol_xref": _sql_symbol_xref(),
         "license_detect": _sql_license_detect(),
         "dedup_incremental": _sql_dedup_incremental(),
         "code_secrets": _sql_code_secrets(),

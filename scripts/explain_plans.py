@@ -68,6 +68,14 @@ DEFAULT = [
     # tf-idf: partial-agg tf/df, term equi-join (AQE skew-splittable),
     # 1-row broadcast N, per-doc top-k window
     "doc_tfidf",
+    # code KG: scan-fused regexp_extract_all (only identifier tokens
+    # leave the scan), module equi-join behind the vendored-copy df-cap
+    "code_import_edges",
+    "repo_dependencies",
+    # unique-sense linking: def-side aggregation (small) BEFORE the
+    # call-site equi-join, so hot ambiguous symbols never form pairs
+    "symbol_xref",
+    "symbol_ambiguity",
 ]
 
 # queries whose semantics genuinely require one global exchange

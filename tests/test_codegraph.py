@@ -1,0 +1,131 @@
+"""Unit tests for the code knowledge-graph family
+(scoobie_spark/extras/codegraph.py) over a hand-built corpus with known
+imports, definitions, vendored copies, ambiguity and call sites."""
+
+from __future__ import annotations
+
+import pytest
+
+from scoobie_spark.extras import codegraph
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # ra defines util (and helper), imports core; rb defines core, calls
+    # util's helper; rc vendors util (same module name) and defines its
+    # own thing; rd imports both util and core and calls helper + parse
+    return _files(
+        spark,
+        [
+            (
+                "ra",
+                "src/util.py",
+                "import core\ndef helper(x):\n    return core.parse(x)\nclass Shared:\n    pass\n",
+            ),
+            (
+                "rb",
+                "lib/core.py",
+                "def parse(s):\n    return s\nclass Shared:\n    pass\n",
+            ),
+            ("rc", "vendor/util.py", "def vendored():\n    pass\n"),
+            (
+                "rd",
+                "app/main.py",
+                "import util\nfrom core import parse\ndef main():\n    return helper(parse(1))\n",
+            ),
+        ],
+    )
+
+
+def test_import_edges(corpus):
+    got = {
+        (r.repo, r.module)
+        for r in codegraph.import_edges(corpus).collect()
+    }
+    assert got == {("ra", "core"), ("rd", "util"), ("rd", "core")}
+
+
+def test_module_defs(corpus):
+    got = {(r.module, r.def_repo) for r in codegraph.module_defs(corpus).collect()}
+    assert got == {
+        ("util", "ra"),
+        ("util", "rc"),
+        ("core", "rb"),
+        ("main", "rd"),
+    }
+
+
+def test_repo_dependencies_and_vendor_cap(corpus):
+    # util is defined in 2 repos -> kept at the default cap, so rd->ra
+    # and rd->rc both appear; with max_def_repos=1 the vendored module
+    # drops out entirely
+    deps = {
+        (r.src_repo, r.dst_repo): r.weight
+        for r in codegraph.repo_dependencies(corpus).collect()
+    }
+    assert deps == {
+        ("ra", "rb"): 1,  # ra imports core (defined by rb)
+        ("rd", "ra"): 1,  # rd imports util -> ra's copy
+        ("rd", "rc"): 1,  # ...and rc's vendored copy
+        ("rd", "rb"): 1,  # rd imports core
+    }
+
+    capped = {
+        (r.src_repo, r.dst_repo)
+        for r in codegraph.repo_dependencies(corpus, max_def_repos=1).collect()
+    }
+    assert capped == {("ra", "rb"), ("rd", "rb")}
+
+
+def test_symbol_defs_and_ambiguity(corpus):
+    defs = {
+        (r.repo, r.symbol, r.kind) for r in codegraph.symbol_defs(corpus).collect()
+    }
+    assert ("ra", "helper", "def") in defs
+    assert ("ra", "Shared", "class") in defs
+    assert ("rb", "Shared", "class") in defs
+    amb = {r.symbol: (r.n_repos, r.n_defs) for r in codegraph.symbol_ambiguity(corpus).collect()}
+    # Shared is the only symbol defined in >1 repo
+    assert amb == {"Shared": (2, 2)}
+
+
+def test_call_sites_exclude_own_defs(corpus):
+    calls = {
+        (r.repo, r.symbol) for r in codegraph.call_sites(corpus).collect()
+    }
+    # ra calls core.parse -> parse (helper is its own def, excluded)
+    assert ("ra", "parse") in calls
+    assert ("ra", "helper") not in calls
+    # rd calls helper and parse (main is its own def, excluded)
+    assert ("rd", "helper") in calls and ("rd", "parse") in calls
+    assert ("rd", "main") not in calls
+
+
+def test_symbol_xref_unique_sense(corpus):
+    xref = {
+        (r.caller_repo, r.def_repo, r.symbol): r.n_files
+        for r in codegraph.symbol_xref(corpus).collect()
+    }
+    # parse uniquely defined in rb; helper uniquely in ra; Shared is
+    # ambiguous (never linked); own-repo links excluded
+    assert xref == {
+        ("ra", "rb", "parse"): 1,
+        ("rd", "rb", "parse"): 1,
+        ("rd", "ra", "helper"): 1,
+    }
+
+
+def test_repo_rank_flows_to_dependencies(corpus, spark):
+    deps = codegraph.repo_dependencies(corpus)
+    ranks = {r.repo: r.rank for r in codegraph.repo_rank(deps).collect()}
+    # rb is depended on by ra and rd and imports nothing: highest rank
+    assert max(ranks, key=ranks.get) == "rb"
+    # damped floor: every node gets at least alpha
+    assert all(v >= 0.1 - 1e-12 for v in ranks.values())
+    # deterministic: same input, same floats
+    again = {r.repo: r.rank for r in codegraph.repo_rank(deps).collect()}
+    assert again == ranks

@@ -75,6 +75,31 @@ def test_pagerank_sink_dominates(spark):
     assert top["node"] == 99
 
 
+def test_pagerank_local_vs_distributed(spark):
+    """Differential: the driver-side numpy gate and the distributed
+    join loop agree to float-policy precision (1e-9, well inside the
+    6-decimal rounding both oracles apply) on random graphs, including
+    string node keys (the codegraph repo graph's shape)."""
+    import random
+
+    random.seed(31)
+    for trial in range(5):
+        n_nodes = random.randint(2, 40)
+        es = [
+            (f"r{random.randrange(n_nodes)}", f"r{random.randrange(n_nodes)}")
+            for _ in range(random.randint(1, 60))
+        ]
+        es = list(dict.fromkeys(es))
+        e = spark.createDataFrame(es, "src string, dst string")
+        loc = {r["node"]: r["rank"] for r in graph.pagerank(e, max_iter=8).collect()}
+        dist = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(e, max_iter=8, local_threshold=0).collect()
+        }
+        assert set(loc) == set(dist)
+        assert all(abs(loc[k] - dist[k]) < 1e-9 for k in loc)
+
+
 def test_hits(spark):
     # hub 1 points to 2,3,4 → 1 best hub; 2,3,4 equal authorities
     e = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
