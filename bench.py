@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "repo_pagerank",
     "symbol_ambiguity",
     "symbol_xref",
+    "dedup_functions",
+    "repo_concat",
 ]
 
 

@@ -258,3 +258,103 @@ def propagate_repo_license(
         family.alias("family"),
         (family == "permissive").alias("license_ok"),
     )
+
+
+# top-level python function: a `def` line plus its contiguous indented
+# block. No lookaround, no backrefs — Java/RE2-identical (oracle-exact).
+FUNC_RE = r"(?:^|\n)(def[ \t][^\n]*(?:\n[ \t]+[^\n]*)*)"
+
+
+def function_snippets(files: DataFrame) -> DataFrame:
+    """(repo, path, snippet_sha256): distinct top-level function
+    bodies per file, hashed AT THE SCAN (sha2 over the matched snippet
+    inside the extraction projection) so function text never crosses an
+    exchange — only 64-hex-char digests shuffle.
+
+    Public spec: function-granularity analysis of code corpora (the
+    unit used by code-LLM dedup/contamination studies — a file is often
+    half-original, half-vendored; file-level dedup misses the vendored
+    half). The regex block heuristic (def line + contiguous indented
+    lines) is the deliberate no-AST trade: exact for the synthesis and
+    for most real Python, and the operator contract is the snippet SET,
+    not a parse."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    return files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.regexp_extract_all(c, F.lit(FUNC_RE), F.lit(1)),
+                    lambda x: F.sha2(x, 256),
+                )
+            )
+        ).alias("snippet_sha256"),
+    )
+
+
+def dedup_functions(files: DataFrame) -> DataFrame:
+    """Cross-repo duplicated functions: (snippet_sha256, n_repos,
+    n_sites) for function bodies appearing in MORE than one repo —
+    the function-granularity twin of exact file dedup (and the
+    vendored-code detector file-level dedup cannot be). Pure
+    aggregation over 8-byte-key-sized digests; no join, no text
+    movement; n_sites counts distinct (repo, path) occurrences."""
+    s = function_snippets(files)
+    return (
+        s.groupBy("snippet_sha256")
+        .agg(
+            F.countDistinct("repo").alias("n_repos"),
+            F.count("*").alias("n_sites"),
+        )
+        .filter(F.col("n_repos") > 1)
+    )
+
+
+def repo_documents(files: DataFrame, max_files: int = 10000) -> DataFrame:
+    """StarCoder2-style repo-context assembly: every repo's files
+    concatenated in deterministic path order into one training
+    document — ``(repo, n_files, n_chars, doc_sha256)`` (the digest
+    stands in for the document so corpus-scale outputs stay bounded;
+    consumers that want the text drop the final select).
+
+    Each file contributes ``### <path>\\n<content>``; pieces join with
+    a newline. ``max_files`` caps a giant repo's contribution (the
+    skew guard: repo assembly is inherently one group per repo, so the
+    cap bounds both the row_number sort and the collect_list buffer —
+    the same truncation the public repo-context recipes apply). The
+    window and the aggregation hash-partition on the same key, so the
+    whole operator is ONE exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo").orderBy("path")
+    capped = (
+        files.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_files)
+        .select(
+            "repo",
+            "path",
+            F.concat(
+                F.lit("### "),
+                F.col("path"),
+                F.lit("\n"),
+                F.coalesce(F.col("content"), F.lit("")),
+            ).alias("piece"),
+        )
+    )
+    agg = capped.groupBy("repo").agg(
+        F.count("*").alias("n_files"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("path", "piece"))),
+                lambda s: s["piece"],
+            ),
+            "\n",
+        ).alias("doc"),
+    )
+    return agg.select(
+        "repo",
+        "n_files",
+        F.length("doc").cast("long").alias("n_chars"),
+        F.sha2(F.col("doc"), 256).alias("doc_sha256"),
+    )

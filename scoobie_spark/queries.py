@@ -3376,7 +3376,9 @@ def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
     resolve to defining files at every sf), defines f<d>, g<d> (unique
     symbols) and C<d%13> (13 hot ambiguous class names), and calls
     f<a>, f<b>, C<(3d+1)%13> — for d≡6 (mod 13) the called class is the
-    file's OWN class, exercising the own-def anti-join."""
+    file's OWN class, exercising the own-def anti-join. A trailing
+    helper<d%7> function body is shared VERBATIM by every file with the
+    same d%7 — cross-repo duplicated code for function-level dedup."""
     from .pipeline import spread_if_narrow
 
     d = _T(spark, sf, "documents")
@@ -3386,6 +3388,7 @@ def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
     b = s(F.pmod(did * 11 + 5, F.lit(500)))
     e = s(F.pmod(did * 3 + 1, F.lit(13)))
     k = s(F.pmod(did, F.lit(13)))
+    h = s(F.pmod(did, F.lit(7)))
     i = s(did)
     content = F.concat(
         F.lit("# "), F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
@@ -3394,7 +3397,10 @@ def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("\ndef f"), i, F.lit("(x):\n    return m"), a, F.lit(".f"), a,
         F.lit("(x) + f"), b, F.lit("(x) + "), i,
         F.lit("\nclass C"), k, F.lit(":\n    def g"), i,
-        F.lit("(self):\n        return C"), e, F.lit("(f"), a, F.lit("(1))\n"),
+        F.lit("(self):\n        return C"), e, F.lit("(f"), a, F.lit("(1))"),
+        # a function body shared verbatim by every file with the same
+        # doc_id%7 — cross-repo duplicated code for function-level dedup
+        F.lit("\ndef helper"), h, F.lit("(v):\n    return v * "), h, F.lit("\n"),
     )
     files = d.select(
         F.concat(F.lit("r"), s(F.pmod(did, F.lit(97)))).alias("repo"),
@@ -3414,13 +3420,16 @@ _SQL_REPO_FILES = """files AS (
          chr(10) || '    return m' || a || '.f' || a || '(x) + f' || b || '(x) + ' || i ||
          chr(10) || 'class C' || k || ':' ||
          chr(10) || '    def g' || i || '(self):' ||
-         chr(10) || '        return C' || e || '(f' || a || '(1))' || chr(10) AS content
+         chr(10) || '        return C' || e || '(f' || a || '(1))' ||
+         chr(10) || 'def helper' || h || '(v):' ||
+         chr(10) || '    return v * ' || h || chr(10) AS content
   FROM (SELECT doc_id, text,
                CAST(doc_id AS VARCHAR) AS i,
                CAST((doc_id * 7 + 3) % 500 AS VARCHAR) AS a,
                CAST((doc_id * 11 + 5) % 500 AS VARCHAR) AS b,
                CAST((doc_id * 3 + 1) % 13 AS VARCHAR) AS e,
-               CAST(doc_id % 13 AS VARCHAR) AS k
+               CAST(doc_id % 13 AS VARCHAR) AS k,
+               CAST(doc_id % 7 AS VARCHAR) AS h
         FROM documents)
 )"""
 
@@ -3590,6 +3599,55 @@ WHERE x.repo <> u.def_repo
 GROUP BY 1, 2, 3"""
 
 
+def q_dedup_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Function-granularity cross-repo dedup
+    (extras.codestats.dedup_functions): top-level def blocks hashed at
+    the scan, aggregated to (snippet_sha256, n_repos, n_sites) for
+    bodies shared by >1 repo — catches vendored halves of files that
+    file-level dedup misses. The synthesis plants helper<d%7>, shared
+    verbatim across ~1/7 of the corpus."""
+    from .extras import codestats
+
+    return codestats.dedup_functions(_repo_files(spark, sf))
+
+
+def _sql_dedup_functions() -> str:
+    from .extras.codestats import FUNC_RE
+
+    return f"""WITH {_SQL_REPO_FILES},
+snips AS (
+  SELECT DISTINCT repo, path, sha256(snippet) AS snippet_sha256 FROM (
+    SELECT repo, path, unnest(regexp_extract_all(content, '{FUNC_RE}', 1)) AS snippet FROM files)
+)
+SELECT snippet_sha256,
+       CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+       CAST(count(*) AS BIGINT) AS n_sites
+FROM snips GROUP BY 1 HAVING count(DISTINCT repo) > 1"""
+
+
+def q_repo_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """Repo-context assembly (extras.codestats.repo_documents):
+    path-ordered concatenation of each repo's files into one training
+    document, reported as (repo, n_files, n_chars, doc_sha256) — the
+    digest proves byte-identity against the DuckDB ordered string_agg
+    without moving document text through the compare."""
+    from .extras import codestats
+
+    return codestats.repo_documents(_repo_files(spark, sf))
+
+
+def _sql_repo_concat() -> str:
+    return f"""WITH {_SQL_REPO_FILES},
+docs AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+         string_agg('### ' || path || chr(10) || content, chr(10) ORDER BY path) AS doc
+  FROM files GROUP BY repo
+)
+SELECT repo, n_files, CAST(length(doc) AS BIGINT) AS n_chars,
+       sha256(doc) AS doc_sha256
+FROM docs"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -3636,6 +3694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_pagerank": q_repo_pagerank,
         "symbol_ambiguity": q_symbol_ambiguity,
         "symbol_xref": q_symbol_xref,
+        "dedup_functions": q_dedup_functions,
+        "repo_concat": q_repo_concat,
         "license_detect": q_license_detect,
         "dedup_incremental": q_dedup_incremental,
         "code_secrets": q_code_secrets,
@@ -3737,6 +3797,8 @@ def oracle_sql() -> dict[str, str]:
         "repo_pagerank": _sql_repo_pagerank(),
         "symbol_ambiguity": _sql_symbol_ambiguity(),
         "symbol_xref": _sql_symbol_xref(),
+        "dedup_functions": _sql_dedup_functions(),
+        "repo_concat": _sql_repo_concat(),
         "license_detect": _sql_license_detect(),
         "dedup_incremental": _sql_dedup_incremental(),
         "code_secrets": _sql_code_secrets(),

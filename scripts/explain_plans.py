@@ -76,6 +76,11 @@ DEFAULT = [
     # call-site equi-join, so hot ambiguous symbols never form pairs
     "symbol_xref",
     "symbol_ambiguity",
+    # function dedup: digests computed inside the scan projection —
+    # only 64-char hashes cross the exchange; pure agg, no join
+    "dedup_functions",
+    # repo assembly: window + groupBy share ONE repo-hash exchange
+    "repo_concat",
 ]
 
 # queries whose semantics genuinely require one global exchange
