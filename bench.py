@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "symbol_xref",
     "dedup_functions",
     "repo_concat",
+    "repo_families",
+    "comment_density",
 ]
 
 

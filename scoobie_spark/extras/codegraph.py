@@ -221,3 +221,36 @@ def symbol_xref(files: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("path").alias("n_files"))
     )
+
+
+def repo_families(dep_edges: DataFrame, min_weight: int = 2) -> DataFrame:
+    """(repo, family): project families — connected components over the
+    STRONG dependency edges (weight ≥ ``min_weight``; single-import
+    edges are noise at corpus scale, repeated imports mean shared
+    ownership). ``family`` is the lexicographically smallest repo of
+    the component (deterministic representative).
+
+    Scale shape: repo names are xxhash64-coded so the CC runs on int64
+    keys (qualifying for :func:`..graph._cc_local`'s numpy gate on
+    small graphs; the distributed star-contraction above it) — a
+    64-bit collision between distinct repos is ~n²/2⁶⁵ and would only
+    merge two families, never crash. The name table (~|repos| rows)
+    joins back once to label components."""
+    from .. import graph
+
+    e = dep_edges.filter(F.col("weight") >= min_weight).select(
+        "src_repo", "dst_repo"
+    )
+    coded = e.select(
+        F.xxhash64("src_repo").alias("src"), F.xxhash64("dst_repo").alias("dst")
+    )
+    cc = graph.connected_components(coded)
+    names = (
+        e.select(F.col("src_repo").alias("repo"))
+        .unionByName(e.select(F.col("dst_repo").alias("repo")))
+        .distinct()
+        .withColumn("node", F.xxhash64("repo"))
+    )
+    labeled = names.join(cc, "node")
+    fam = labeled.groupBy("component").agg(F.min("repo").alias("family"))
+    return labeled.join(fam, "component").select("repo", "family")

@@ -358,3 +358,37 @@ def repo_documents(files: DataFrame, max_files: int = 10000) -> DataFrame:
         F.length("doc").cast("long").alias("n_chars"),
         F.sha2(F.col("doc"), 256).alias("doc_sha256"),
     )
+
+
+# a comment line: optional blank, then '#' (python-family); docstring:
+# a non-greedy triple-quoted block. Both Java/RE2-identical.
+COMMENT_LINE_RE = r"^[ \t]*#"
+DOCSTRING_RE = '"""[\\s\\S]*?"""'
+
+
+def comment_density(files: DataFrame) -> DataFrame:
+    """Per-file comment statistics + density gate — the documentation
+    signal code-curation recipes score alongside :func:`code_quality`
+    (near-zero comments correlates with minified/generated code; a
+    file that is mostly comments is often license boilerplate).
+
+    Output: ``(path, n_lines, n_comment_lines, n_docstrings, keep)``
+    with ``keep`` = comment lines ≤ 4/5 of all lines (integer form —
+    no float ratio, so the DuckDB oracle replays exactly). One narrow
+    map-only pass; no shuffle, no Python."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    lines = F.split(c, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    n_comment = F.size(
+        F.filter(lines, lambda x: x.rlike(COMMENT_LINE_RE))
+    ).cast("long")
+    n_doc = F.size(F.regexp_extract_all(c, F.lit(DOCSTRING_RE), F.lit(0))).cast(
+        "long"
+    )
+    return files.select(
+        "path",
+        n_lines.alias("n_lines"),
+        n_comment.alias("n_comment_lines"),
+        n_doc.alias("n_docstrings"),
+        (5 * n_comment <= 4 * n_lines).alias("keep"),
+    )

@@ -3390,7 +3390,17 @@ def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
     k = s(F.pmod(did, F.lit(13)))
     h = s(F.pmod(did, F.lit(7)))
     i = s(did)
+    # density variation for comment_density: every 5th file opens with
+    # a module docstring, every d≡1 (mod 3) file ends with a comment
+    ds = F.when(
+        F.pmod(did, F.lit(5)) == 0,
+        F.concat(F.lit('"""mod doc '), i, F.lit('"""\n')),
+    ).otherwise(F.lit(""))
+    tail = F.when(
+        F.pmod(did, F.lit(3)) == 1, F.concat(F.lit("# end "), i, F.lit("\n"))
+    ).otherwise(F.lit(""))
     content = F.concat(
+        ds,
         F.lit("# "), F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
         F.lit("\nimport m"), a,
         F.lit("\nfrom m"), b, F.lit(" import f"), b,
@@ -3401,6 +3411,7 @@ def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
         # a function body shared verbatim by every file with the same
         # doc_id%7 — cross-repo duplicated code for function-level dedup
         F.lit("\ndef helper"), h, F.lit("(v):\n    return v * "), h, F.lit("\n"),
+        tail,
     )
     files = d.select(
         F.concat(F.lit("r"), s(F.pmod(did, F.lit(97)))).alias("repo"),
@@ -3410,9 +3421,11 @@ def _repo_files(spark: SparkSession, sf: str) -> DataFrame:
     return spread_if_narrow(files, "path")
 
 
-_SQL_REPO_FILES = """files AS (
+_SQL_REPO_FILES = '''files AS (
   SELECT 'r' || CAST(doc_id % 97 AS VARCHAR) AS repo,
          'src/m' || i || '.py' AS path,
+         CASE WHEN doc_id % 5 = 0
+              THEN '"""mod doc ' || i || '"""' || chr(10) ELSE '' END ||
          '# ' || substr(coalesce(text, ''), 1, 40) ||
          chr(10) || 'import m' || a ||
          chr(10) || 'from m' || b || ' import f' || b ||
@@ -3422,7 +3435,9 @@ _SQL_REPO_FILES = """files AS (
          chr(10) || '    def g' || i || '(self):' ||
          chr(10) || '        return C' || e || '(f' || a || '(1))' ||
          chr(10) || 'def helper' || h || '(v):' ||
-         chr(10) || '    return v * ' || h || chr(10) AS content
+         chr(10) || '    return v * ' || h || chr(10) ||
+         CASE WHEN doc_id % 3 = 1
+              THEN '# end ' || i || chr(10) ELSE '' END AS content
   FROM (SELECT doc_id, text,
                CAST(doc_id AS VARCHAR) AS i,
                CAST((doc_id * 7 + 3) % 500 AS VARCHAR) AS a,
@@ -3431,7 +3446,7 @@ _SQL_REPO_FILES = """files AS (
                CAST(doc_id % 13 AS VARCHAR) AS k,
                CAST(doc_id % 7 AS VARCHAR) AS h
         FROM documents)
-)"""
+)'''
 
 
 def _sql_codegraph_ctes() -> str:
@@ -3648,6 +3663,63 @@ SELECT repo, n_files, CAST(length(doc) AS BIGINT) AS n_chars,
 FROM docs"""
 
 
+def q_repo_families(spark: SparkSession, sf: str) -> DataFrame:
+    """Project families (extras.codegraph.repo_families): connected
+    components over the STRONG dependency edges (weight ≥ 2 — repeated
+    imports, not one-off references), each family labeled by its
+    lexicographically smallest repo. Repo names are xxhash64-coded so
+    the CC runs on int64 keys (numpy small-graph gate / distributed
+    star-contraction above threshold); oracle = recursive-CTE
+    transitive closure over the same thresholded edges."""
+    from .extras import codegraph
+
+    deps = codegraph.repo_dependencies(_repo_files(spark, sf))
+    return codegraph.repo_families(deps, min_weight=2)
+
+
+def _sql_repo_families() -> str:
+    return f"""WITH RECURSIVE {_sql_codegraph_ctes()},
+e2 AS (
+  SELECT src_repo AS src, dst_repo AS dst FROM deps WHERE weight >= 2
+  UNION
+  SELECT dst_repo, src_repo FROM deps WHERE weight >= 2
+),
+fnodes AS (SELECT DISTINCT src AS node FROM e2),
+reach(node, r) AS (
+  SELECT node, node FROM fnodes
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN e2 e ON reach.r = e.src
+)
+SELECT node AS repo, min(r) AS family FROM reach GROUP BY node"""
+
+
+def q_comment_density(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-file comment/docstring statistics + density gate
+    (extras.codestats.comment_density). The synthesis varies the
+    signal: every 5th file opens with a module docstring, every
+    d≡1 (mod 3) file carries a trailing comment line."""
+    from .extras import codestats
+
+    return codestats.comment_density(_repo_files(spark, sf))
+
+
+def _sql_comment_density() -> str:
+    from .extras.codestats import COMMENT_LINE_RE, DOCSTRING_RE
+
+    return f"""WITH {_SQL_REPO_FILES}
+SELECT path,
+       CAST(len(string_split(content, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(string_split(content, chr(10)),
+                            x -> regexp_matches(x, '{COMMENT_LINE_RE}'))) AS BIGINT)
+         AS n_comment_lines,
+       CAST(len(regexp_extract_all(content, '{DOCSTRING_RE}')) AS BIGINT)
+         AS n_docstrings,
+       5 * len(list_filter(string_split(content, chr(10)),
+                           x -> regexp_matches(x, '{COMMENT_LINE_RE}')))
+         <= 4 * len(string_split(content, chr(10))) AS keep
+FROM files"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -3696,6 +3768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_xref": q_symbol_xref,
         "dedup_functions": q_dedup_functions,
         "repo_concat": q_repo_concat,
+        "repo_families": q_repo_families,
+        "comment_density": q_comment_density,
         "license_detect": q_license_detect,
         "dedup_incremental": q_dedup_incremental,
         "code_secrets": q_code_secrets,
@@ -3799,6 +3873,8 @@ def oracle_sql() -> dict[str, str]:
         "symbol_xref": _sql_symbol_xref(),
         "dedup_functions": _sql_dedup_functions(),
         "repo_concat": _sql_repo_concat(),
+        "repo_families": _sql_repo_families(),
+        "comment_density": _sql_comment_density(),
         "license_detect": _sql_license_detect(),
         "dedup_incremental": _sql_dedup_incremental(),
         "code_secrets": _sql_code_secrets(),

@@ -81,6 +81,10 @@ DEFAULT = [
     "dedup_functions",
     # repo assembly: window + groupBy share ONE repo-hash exchange
     "repo_concat",
+    # comment stats: narrow map-only pass, no exchange
+    "comment_density",
+    # project families: thresholded edges -> int64-coded CC -> name join
+    "repo_families",
 ]
 
 # queries whose semantics genuinely require one global exchange

@@ -129,3 +129,28 @@ def test_repo_rank_flows_to_dependencies(corpus, spark):
     # deterministic: same input, same floats
     again = {r.repo: r.rank for r in codegraph.repo_rank(deps).collect()}
     assert again == ranks
+
+
+def test_repo_families_threshold_and_label(spark):
+    """Only weight>=min_weight edges connect; families labeled by
+    their lexicographically smallest member; the weak edge (weight 1)
+    does not merge the two families."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    deps = spark.createDataFrame(
+        [
+            ("rb", "ra", 3),
+            ("rc", "rb", 2),
+            ("re", "rd", 5),
+            ("rd", "ra", 1),  # weak: must NOT merge the families
+        ],
+        "src_repo string, dst_repo string, weight long",
+    )
+    fam = {r.repo: r.family for r in codegraph.repo_families(deps).collect()}
+    assert fam == {"ra": "ra", "rb": "ra", "rc": "ra", "rd": "rd", "re": "rd"}
+    # with the threshold at 1 the weak edge merges everything
+    fam1 = {
+        r.repo: r.family
+        for r in codegraph.repo_families(deps, min_weight=1).collect()
+    }
+    assert set(fam1.values()) == {"ra"}
