@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "repo_concat",
     "repo_families",
     "comment_density",
+    "code_funnel",
+    "latest_snapshot",
 ]
 
 

@@ -366,7 +366,7 @@ COMMENT_LINE_RE = r"^[ \t]*#"
 DOCSTRING_RE = '"""[\\s\\S]*?"""'
 
 
-def comment_density(files: DataFrame) -> DataFrame:
+def comment_density(files: DataFrame, key: str = "path") -> DataFrame:
     """Per-file comment statistics + density gate — the documentation
     signal code-curation recipes score alongside :func:`code_quality`
     (near-zero comments correlates with minified/generated code; a
@@ -386,9 +386,116 @@ def comment_density(files: DataFrame) -> DataFrame:
         "long"
     )
     return files.select(
-        "path",
+        F.col(key).alias("path"),
         n_lines.alias("n_lines"),
         n_comment.alias("n_comment_lines"),
         n_doc.alias("n_docstrings"),
         (5 * n_comment <= 4 * n_lines).alias("keep"),
+    )
+
+
+def latest_snapshot(files: DataFrame, commit: str = "commit") -> DataFrame:
+    """HEAD-snapshot selection: one row per (repo, path) keeping the
+    NEWEST commit — the first step of every snapshot-based corpus
+    recipe (train on the latest file version, not every revision).
+
+    Output: ``(repo, path, commit, n_versions, content_sha256)``.
+    "Newest" is the max under the total (commit, content) order — a
+    deterministic argmax even if a commit id repeats — computed as a
+    map-side-combinable struct-max: ONE partial-aggregated groupBy, no
+    window, no sort, no text movement after the agg (the digest stands
+    in for the kept content)."""
+    m = F.max(
+        F.struct(
+            F.col(commit).alias("c"),
+            F.coalesce(F.col("content"), F.lit("")).alias("v"),
+        )
+    )
+    return (
+        files.groupBy("repo", "path")
+        .agg(m.alias("m"), F.count("*").alias("n_versions"))
+        .select(
+            "repo",
+            "path",
+            F.col("m.c").alias("commit"),
+            "n_versions",
+            F.sha2(F.col("m.v"), 256).alias("content_sha256"),
+        )
+    )
+
+
+# code-curation funnel stages, in drop order
+CODE_FUNNEL_STAGES = ["all", "quality", "license", "comments", "exact_dedup"]
+
+
+def code_funnel(files: DataFrame) -> DataFrame:
+    """The end-to-end code-curation funnel: ``(stage, n_files)`` — five
+    rows with monotonically non-increasing counts. Stages compose the
+    per-file gates this module already verifies individually:
+
+    1. ``quality``  — :func:`code_quality` keep (autogen / line-length
+       / alnum gates),
+    2. ``license``  — AND permissive effective license
+       (:func:`propagate_repo_license`: repo LICENSE file inheritance,
+       REUSE precedence for own headers),
+    3. ``comments`` — AND :func:`comment_density` keep,
+    4. ``exact_dedup`` — AND the file is the canonical survivor of its
+       exact content class (global first occurrence under the
+       (repo, path) struct order — identical LICENSE texts across
+       repos dedup here).
+
+    Every signal is a join on (repo, path) or the content sha — all
+    integer/boolean, so the funnel replays exactly in SQL. The flags
+    frame gets a lazy lineage cut (multiple signal joins feed one
+    aggregate; same policy as curation.curation_funnel)."""
+    fkey = F.concat_ws("/", "repo", "path")
+    f2 = files.select(
+        "repo", "path", "content", fkey.alias("fkey")
+    )
+    q = code_quality(f2, key="fkey").select(
+        F.col("path").alias("fkey"), F.col("keep").alias("k1")
+    )
+    lic = propagate_repo_license(f2).select(
+        "repo", "path", F.col("license_ok").alias("k2")
+    )
+    cd = comment_density(f2, key="fkey").select(
+        F.col("path").alias("fkey"), F.col("keep").alias("k3")
+    )
+    sha = f2.select(
+        "fkey",
+        "repo",
+        "path",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("sha"),
+    )
+    keeper = sha.groupBy("sha").agg(
+        F.min(F.struct("repo", "path")).alias("m")
+    )
+    flags = (
+        sha.join(q, "fkey")
+        .join(lic, ["repo", "path"])
+        .join(cd, "fkey")
+        .join(keeper, "sha")
+        .select(
+            F.col("k1").alias("s1"),
+            (F.col("k1") & F.col("k2")).alias("s2"),
+            (F.col("k1") & F.col("k2") & F.col("k3")).alias("s3"),
+            (
+                F.col("k1")
+                & F.col("k2")
+                & F.col("k3")
+                & (F.col("m.repo") == F.col("repo"))
+                & (F.col("m.path") == F.col("path"))
+            ).alias("s4"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    agg = flags.agg(
+        F.count("*").alias("c0"),
+        *[F.count(F.when(F.col(f"s{i}"), 1)).alias(f"c{i}") for i in range(1, 5)],
+    )
+    stack_args = ", ".join(
+        f"'{s}', c{i}" for i, s in enumerate(CODE_FUNNEL_STAGES)
+    )
+    return agg.select(
+        F.expr(f"stack(5, {stack_args}) AS (stage, n_files)")
     )

@@ -1088,16 +1088,12 @@ ORDER BY n DESC, pair LIMIT 100
 """
 
 
-def q_license_propagate(spark: SparkSession, sf: str) -> DataFrame:
-    """Repo-level license resolution + inheritance
-    (extras.codestats.propagate_repo_license — The-Stack's repo
-    recipe): each repo gets one planted LICENSE file (MIT / GPL /
-    SPDX-less by repo residue), every 7th file carries its own
-    Apache-2.0 header (REUSE precedence: it wins), the rest inherit.
-    The oracle replays detection, the per-repo license-file reduction
-    and the inheritance join value-for-value."""
-    from .extras.codestats import propagate_repo_license
-
+def _licensed_code_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Licensed repo-file synthesis shared by the license-propagation
+    and code-funnel queries: per-file _code_file content (with planted
+    quality defects), every 7th file carrying its own Apache-2.0 SPDX
+    header, plus one LICENSE file per repo (MIT / GPL / SPDX-less by
+    repo residue). SQL twin: _SQL_LICENSED_FILES."""
     d = _T(spark, sf, "documents")
     k = F.col("doc_id")
     own = F.when(
@@ -1128,14 +1124,24 @@ def q_license_propagate(spark: SparkSession, sf: str) -> DataFrame:
             .alias("content"),
         )
     )
-    return propagate_repo_license(file_rows.unionByName(lic_rows))
+    return file_rows.unionByName(lic_rows)
 
 
-def _sql_license_propagate() -> str:
-    from .extras.codestats import COPYLEFT_RE, PERMISSIVE_RE, SPDX_RE
+def q_license_propagate(spark: SparkSession, sf: str) -> DataFrame:
+    """Repo-level license resolution + inheritance
+    (extras.codestats.propagate_repo_license — The-Stack's repo
+    recipe): each repo gets one planted LICENSE file (MIT / GPL /
+    SPDX-less by repo residue), every 7th file carries its own
+    Apache-2.0 header (REUSE precedence: it wins), the rest inherit.
+    The oracle replays detection, the per-repo license-file reduction
+    and the inheritance join value-for-value."""
+    from .extras.codestats import propagate_repo_license
 
-    return f"""
-WITH file_rows AS (
+    return propagate_repo_license(_licensed_code_files(spark, sf))
+
+
+def _sql_licensed_files() -> str:
+    return f"""file_rows AS (
   SELECT 'repo-' || CAST(doc_id % 50 AS VARCHAR) AS repo,
          'src/f' || CAST(doc_id AS VARCHAR) || '.py' AS path,
          CASE WHEN doc_id % 7 = 0
@@ -1149,9 +1155,18 @@ WITH file_rows AS (
            WHEN 1 THEN 'SPDX-License-Identifier: GPL-3.0-only' || chr(10) || 'GPL text.' || chr(10)
            ELSE 'All rights reserved.' || chr(10) END AS content
   FROM (SELECT DISTINCT doc_id % 50 AS rn FROM documents)
-), det AS (
+), lfiles AS (SELECT * FROM file_rows UNION ALL SELECT * FROM lic_rows)"""
+
+
+def _sql_license_joined() -> str:
+    """Shared resolution CTEs over ``lfiles``: REUSE precedence +
+    repo-LICENSE inheritance → ``joined(repo, path, spdx, repo_spdx,
+    effective_spdx)``."""
+    from .extras.codestats import SPDX_RE
+
+    return f"""det AS (
   SELECT repo, path, regexp_extract(content, '{SPDX_RE}', 1) AS spdx
-  FROM (SELECT * FROM file_rows UNION ALL SELECT * FROM lic_rows)
+  FROM lfiles
 ), repo_lic AS (
   SELECT repo, arg_min(spdx, path) AS repo_spdx
   FROM det
@@ -1162,7 +1177,15 @@ WITH file_rows AS (
   SELECT d.repo, d.path, d.spdx, coalesce(r.repo_spdx, '') AS repo_spdx,
          CASE WHEN d.spdx <> '' THEN d.spdx ELSE coalesce(r.repo_spdx, '') END AS effective_spdx
   FROM det d LEFT JOIN repo_lic r ON d.repo = r.repo
-)
+)"""
+
+
+def _sql_license_propagate() -> str:
+    from .extras.codestats import COPYLEFT_RE, PERMISSIVE_RE
+
+    return f"""
+WITH {_sql_licensed_files()},
+{_sql_license_joined()}
 SELECT repo, path, spdx, repo_spdx, effective_spdx,
        CASE WHEN effective_spdx = '' THEN 'none'
             WHEN regexp_matches(effective_spdx, '{PERMISSIVE_RE}') THEN 'permissive'
@@ -3720,6 +3743,106 @@ SELECT path,
 FROM files"""
 
 
+def q_code_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end code-curation funnel
+    (extras.codestats.code_funnel): staged keep counts through the
+    quality gate → permissive effective license → comment-density gate
+    → exact-content survivor, over the licensed synthesis (planted
+    quality defects, LICENSE inheritance, duplicated LICENSE texts
+    that the dedup stage collapses)."""
+    from .extras.codestats import code_funnel
+
+    return code_funnel(_licensed_code_files(spark, sf))
+
+
+def _sql_code_funnel() -> str:
+    from .extras.codestats import (
+        AUTOGEN_RE,
+        COMMENT_LINE_RE,
+        MAX_AVG_LINE_LEN,
+        MAX_LINE_LEN,
+        MIN_ALNUM_QUARTERS,
+        PERMISSIVE_RE,
+    )
+
+    return f"""
+WITH {_sql_licensed_files()},
+{_sql_license_joined()},
+q AS (
+  SELECT repo, path,
+         (NOT regexp_matches(content, '{AUTOGEN_RE}'))
+         AND list_max(list_transform(string_split(content, chr(10)), x -> len(x))) <= {MAX_LINE_LEN}
+         AND len(content) <= {MAX_AVG_LINE_LEN} * len(string_split(content, chr(10)))
+         AND {MIN_ALNUM_QUARTERS} * len(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) >= len(content)
+           AS k1,
+         5 * len(list_filter(string_split(content, chr(10)),
+                             x -> regexp_matches(x, '{COMMENT_LINE_RE}')))
+           <= 4 * len(string_split(content, chr(10))) AS k3,
+         sha256(content) AS sha
+  FROM lfiles
+), lic AS (
+  SELECT repo, path,
+         CASE WHEN effective_spdx = '' THEN FALSE
+              WHEN regexp_matches(effective_spdx, '{PERMISSIVE_RE}') THEN TRUE
+              ELSE FALSE END AS k2
+  FROM joined
+), keeper AS (
+  SELECT sha, min({{'r': repo, 'p': path}}) AS m FROM q GROUP BY sha
+), flags AS (
+  SELECT q.k1, q.k1 AND lic.k2 AS s2, q.k1 AND lic.k2 AND q.k3 AS s3,
+         q.k1 AND lic.k2 AND q.k3
+           AND (k.m).r = q.repo AND (k.m).p = q.path AS s4
+  FROM q JOIN lic ON lic.repo = q.repo AND lic.path = q.path
+  JOIN keeper k ON k.sha = q.sha
+)
+SELECT stage, n_files FROM (
+  SELECT 'all' AS stage, CAST(count(*) AS BIGINT) AS n_files, 0 AS o FROM flags
+  UNION ALL
+  SELECT 'quality', CAST(count(*) FILTER (k1) AS BIGINT), 1 FROM flags
+  UNION ALL
+  SELECT 'license', CAST(count(*) FILTER (s2) AS BIGINT), 2 FROM flags
+  UNION ALL
+  SELECT 'comments', CAST(count(*) FILTER (s3) AS BIGINT), 3 FROM flags
+  UNION ALL
+  SELECT 'exact_dedup', CAST(count(*) FILTER (s4) AS BIGINT), 4 FROM flags
+) ORDER BY o"""
+
+
+def q_latest_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """HEAD-snapshot selection (extras.codestats.latest_snapshot): two
+    synthetic commits — every file at c0, every 4th file re-committed
+    at c1 with appended content — reduced to the newest version per
+    (repo, path) via a map-side-combinable struct-max (no window, no
+    sort); the kept content is digest-compared."""
+    from .extras.codestats import latest_snapshot
+
+    base = _repo_files(spark, sf).withColumn("commit", F.lit("c0"))
+    d = F.regexp_extract("path", r"m(\d+)\.py", 1).cast("long")
+    v2 = (
+        base.filter(F.pmod(d, F.lit(4)) == 0)
+        .withColumn("commit", F.lit("c1"))
+        .withColumn("content", F.concat(F.col("content"), F.lit("# v2\n")))
+    )
+    return latest_snapshot(base.unionByName(v2))
+
+
+def _sql_latest_snapshot() -> str:
+    return f"""
+WITH {_SQL_REPO_FILES},
+versions AS (
+  SELECT repo, path, 'c0' AS commit, content FROM files
+  UNION ALL
+  SELECT repo, path, 'c1', content || '# v2' || chr(10)
+  FROM files
+  WHERE CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 4 = 0
+)
+SELECT repo, path,
+       (max({{'c': commit, 'v': content}})).c AS commit,
+       CAST(count(*) AS BIGINT) AS n_versions,
+       sha256((max({{'c': commit, 'v': content}})).v) AS content_sha256
+FROM versions GROUP BY repo, path"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -3770,6 +3893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_concat": q_repo_concat,
         "repo_families": q_repo_families,
         "comment_density": q_comment_density,
+        "code_funnel": q_code_funnel,
+        "latest_snapshot": q_latest_snapshot,
         "license_detect": q_license_detect,
         "dedup_incremental": q_dedup_incremental,
         "code_secrets": q_code_secrets,
@@ -3875,6 +4000,8 @@ def oracle_sql() -> dict[str, str]:
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),
         "comment_density": _sql_comment_density(),
+        "code_funnel": _sql_code_funnel(),
+        "latest_snapshot": _sql_latest_snapshot(),
         "license_detect": _sql_license_detect(),
         "dedup_incremental": _sql_dedup_incremental(),
         "code_secrets": _sql_code_secrets(),

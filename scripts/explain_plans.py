@@ -85,6 +85,10 @@ DEFAULT = [
     "comment_density",
     # project families: thresholded edges -> int64-coded CC -> name join
     "repo_families",
+    # staged gates: per-file signal joins -> one aggregate
+    "code_funnel",
+    # HEAD snapshot: ONE partial-agg struct-max groupBy, no window
+    "latest_snapshot",
 ]
 
 # queries whose semantics genuinely require one global exchange
