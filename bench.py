@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "comment_density",
     "code_funnel",
     "latest_snapshot",
+    "repo_pagerank_seeded",
 ]
 
 

@@ -138,7 +138,10 @@ def repo_dependencies(
 
 
 def repo_rank(
-    dep_edges: DataFrame, alpha: float = 0.1, max_iter: int = 15
+    dep_edges: DataFrame,
+    alpha: float = 0.1,
+    max_iter: int = 15,
+    seed_repos: DataFrame | None = None,
 ) -> DataFrame:
     """(repo, rank): PageRank over the repo dependency graph — an
     importing repo endorses the repos it depends on, so rank flows
@@ -146,15 +149,25 @@ def repo_rank(
     damped recurrence as the reference's entity resolver
     (PageRankBasedResolver.java:44-85) via the shared corpus-scale
     implementation (graph.pagerank: one join+agg per iteration,
-    lineage cut each round)."""
+    lineage cut each round).
+
+    ``seed_repos`` (a DataFrame with a ``repo`` column) switches to
+    personalized PageRank: teleport mass restricted to the seed set,
+    so scores measure dependency-proximity to a trusted repo set —
+    the seed-expansion shape data-selection recipes use."""
     from .. import graph
 
     edges = dep_edges.select(
         F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
     )
-    return graph.pagerank(edges, alpha=alpha, max_iter=max_iter).select(
-        F.col("node").alias("repo"), "rank"
+    seeds = (
+        None
+        if seed_repos is None
+        else seed_repos.select(F.col("repo").alias("node"))
     )
+    return graph.pagerank(
+        edges, alpha=alpha, max_iter=max_iter, seeds=seeds
+    ).select(F.col("node").alias("repo"), "rank")
 
 
 def symbol_defs(files: DataFrame) -> DataFrame:

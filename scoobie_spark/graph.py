@@ -229,7 +229,12 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def _pagerank_local(
-    spark, nodes: DataFrame, edges: DataFrame, alpha: float, max_iter: int
+    spark,
+    nodes: DataFrame,
+    edges: DataFrame,
+    alpha: float,
+    max_iter: int,
+    seeds: DataFrame | None = None,
 ) -> DataFrame | None:
     """Driver-side power iteration for sub-threshold graphs: the same
     recurrence as the distributed loop over factorized node codes
@@ -253,11 +258,18 @@ def _pagerank_local(
     nn, ne = len(nv), len(ep)
     cs, cd = codes[nn:nn + ne], codes[nn + ne:]
     outdeg = np.bincount(cs, minlength=len(uniq)).astype(np.float64)
-    r = np.ones(len(uniq), dtype=np.float64)
+    if seeds is None:
+        flag = np.ones(len(uniq), dtype=np.float64)
+    else:
+        sp = seeds.toPandas()["node"]
+        if sp.isna().any():
+            return None
+        flag = np.isin(uniq, sp.to_numpy()).astype(np.float64)
+    r = flag.copy()
     for _ in range(max_iter):
         contrib = np.zeros(len(uniq), dtype=np.float64)
         np.add.at(contrib, cd, r[cs] / outdeg[cs])
-        r = alpha + (1 - alpha) * contrib
+        r = alpha * flag + (1 - alpha) * contrib
     node_codes = codes[:nn]
     out = pd.DataFrame({"node": uniq[node_codes], "rank": r[node_codes]})
     schema = T.StructType(
@@ -271,8 +283,16 @@ def pagerank(
     alpha: float = 0.1,
     max_iter: int = 15,
     local_threshold: int = 1 << 20,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
-    """Power iteration PageRank: rank = alpha + (1-alpha)·Σ rank/out_deg.
+    """Power iteration PageRank: rank = alpha·s + (1-alpha)·Σ rank/out_deg,
+    where the teleport indicator ``s`` is 1 everywhere (classic, the
+    default) or 1 only on ``seeds`` (a DataFrame with a ``node``
+    column) — personalized PageRank, rank mass flowing out from the
+    seed set along dependency edges (the standard seed-expansion shape
+    for data selection: score everything by proximity to a trusted
+    set). With ``seeds=None`` the recurrence and results are identical
+    to the classic form.
 
     The reference's PageRankBasedResolver uses JUNG's PageRank with
     alpha=0.1 (PageRankBasedResolver.java:44-85); same recurrence here,
@@ -298,9 +318,11 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    if seeds is not None:
+        seeds = seeds.select("node").distinct().localCheckpoint(eager=False)
     if local_threshold and nodes.count() <= local_threshold:
         if nodes.count() + edges.count() <= local_threshold:
-            local = _pagerank_local(spark, nodes, edges, alpha, max_iter)
+            local = _pagerank_local(spark, nodes, edges, alpha, max_iter, seeds)
             if local is not None:
                 return local
     out_deg = (
@@ -308,7 +330,15 @@ def pagerank(
         .agg(F.count("*").alias("out_deg"))
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if seeds is None:
+        flagged = nodes.withColumn("flag", F.lit(1.0))
+    else:
+        flagged = (
+            nodes.join(seeds.withColumn("f", F.lit(1.0)), "node", "left")
+            .select("node", F.coalesce("f", F.lit(0.0)).alias("flag"))
+            .localCheckpoint()
+        )
+    ranks = flagged.select("node", F.col("flag").alias("rank"))
     for _ in range(max_iter):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -317,10 +347,14 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("inflow"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            flagged.join(contrib, "node", "left")
             .fillna(0.0, subset=["inflow"])
             .select(
-                "node", (F.lit(alpha) + F.lit(1 - alpha) * F.col("inflow")).alias("rank")
+                "node",
+                (
+                    F.lit(alpha) * F.col("flag")
+                    + F.lit(1 - alpha) * F.col("inflow")
+                ).alias("rank"),
             )
             # eager on purpose: measured against eager=False (one action
             # over 15 chained shuffles), per-iteration materialization is

@@ -3554,25 +3554,33 @@ def q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_repo_pagerank(iters: int = 15) -> str:
+def _sql_repo_pagerank(iters: int = 15, seeded: bool = False) -> str:
     """15 unrolled damped f64 iterations (same recurrence as
-    graph.pagerank: r = 0.1 + 0.9·Σ r/outdeg from r0 = 1; the unrolled
+    graph.pagerank: r = 0.1·flag + 0.9·Σ r/outdeg from r0 = flag, with
+    flag ≡ 1 classic / seed-indicator personalized; the unrolled
     plain-WITH chain is the _pagerank_score_sql pattern from
     flagship_sql.py at repo granularity)."""
+    flag = (
+        "CASE WHEN CAST(substr(repo, 2) AS BIGINT) % 10 = 0"
+        " THEN 1.0 ELSE 0.0 END"
+        if seeded
+        else "1.0"
+    )
     ctes = [
         _sql_codegraph_ctes(),
-        """nodes AS (
-  SELECT DISTINCT repo FROM (
-    SELECT src_repo AS repo FROM deps UNION ALL SELECT dst_repo FROM deps)
+        f"""nodes AS (
+  SELECT repo, CAST({flag} AS DOUBLE) AS flag FROM (
+    SELECT DISTINCT repo FROM (
+      SELECT src_repo AS repo FROM deps UNION ALL SELECT dst_repo FROM deps))
 )""",
         """outs AS (
   SELECT src_repo, CAST(count(*) AS DOUBLE) AS od FROM deps GROUP BY 1
 )""",
-        "pr0 AS (SELECT repo, CAST(1.0 AS DOUBLE) AS r FROM nodes)",
+        "pr0 AS (SELECT repo, flag AS r FROM nodes)",
     ]
     for n in range(1, iters + 1):
         ctes.append(f"""pr{n} AS MATERIALIZED (
-  SELECT n.repo, 0.1 + 0.9 * coalesce(c.con, 0) AS r
+  SELECT n.repo, 0.1 * n.flag + 0.9 * coalesce(c.con, 0) AS r
   FROM nodes n LEFT JOIN (
     SELECT e.dst_repo AS repo, sum(p.r / o.od) AS con
     FROM deps e
@@ -3582,6 +3590,27 @@ def _sql_repo_pagerank(iters: int = 15) -> str:
 )""")
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT repo, round(r, 6) AS rank FROM pr{iters}"
+
+
+def q_repo_pagerank_seeded(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank over the repo dependency graph
+    (extras.codegraph.repo_rank with seed_repos): teleport mass
+    restricted to the ten r<k·10> repos, so the score is dependency-
+    proximity to that trusted set — the seed-expansion shape
+    data-selection recipes use. Same 6-decimal float policy."""
+    from .extras import codegraph
+
+    d = _T(spark, sf, "documents")
+    seeds = (
+        d.select(F.pmod(F.col("doc_id"), F.lit(97)).alias("k"))
+        .distinct()
+        .filter(F.pmod(F.col("k"), F.lit(10)) == 0)
+        .select(F.concat(F.lit("r"), F.col("k").cast("string")).alias("repo"))
+    )
+    deps = codegraph.repo_dependencies(_repo_files(spark, sf))
+    return codegraph.repo_rank(deps, seed_repos=seeds).select(
+        "repo", F.round("rank", 6).alias("rank")
+    )
 
 
 def q_symbol_ambiguity(spark: SparkSession, sf: str) -> DataFrame:
@@ -3887,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_import_edges": q_code_import_edges,
         "repo_dependencies": q_repo_dependencies,
         "repo_pagerank": q_repo_pagerank,
+        "repo_pagerank_seeded": q_repo_pagerank_seeded,
         "symbol_ambiguity": q_symbol_ambiguity,
         "symbol_xref": q_symbol_xref,
         "dedup_functions": q_dedup_functions,
@@ -3994,6 +4024,7 @@ def oracle_sql() -> dict[str, str]:
         "code_import_edges": _sql_code_import_edges(),
         "repo_dependencies": _sql_repo_dependencies(),
         "repo_pagerank": _sql_repo_pagerank(),
+        "repo_pagerank_seeded": _sql_repo_pagerank(seeded=True),
         "symbol_ambiguity": _sql_symbol_ambiguity(),
         "symbol_xref": _sql_symbol_xref(),
         "dedup_functions": _sql_dedup_functions(),

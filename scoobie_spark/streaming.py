@@ -158,3 +158,41 @@ def sessionized_events(
     return df.groupBy(
         F.session_window("ts", gap).alias("session"), "user_id"
     ).agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
+
+
+def streaming_code_edges(
+    stream_files: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Incrementally maintain the code-KG import-edge table
+    (extras.codegraph.import_edges) over a streaming repo-file source;
+    returns the StreamingQuery. Extraction is strictly per-file, so
+    each micro-batch is independent and the union of batch outputs IS
+    the batch-mode edge set — the streaming twin of a 100 TB
+    continuously-refreshing corpus. Same restart-safe sink contract as
+    :func:`streaming_extract`: a replayed batch dynamically OVERWRITES
+    its own batch_id partition instead of appending duplicates."""
+    from .extras.codegraph import import_edges
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        (
+            import_edges(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = stream_files.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -154,3 +154,29 @@ def test_repo_families_threshold_and_label(spark):
         for r in codegraph.repo_families(deps, min_weight=1).collect()
     }
     assert set(fam1.values()) == {"ra"}
+
+
+def test_streaming_code_edges(spark, corpus, tmp_path):
+    """The streaming twin: repo files through readStream → foreachBatch
+    import_edges → parquet sink equals the batch-mode edge set."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from scoobie_spark.streaming import streaming_code_edges
+
+    src = str(tmp_path / "files")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = streaming_code_edges(
+        stream, str(tmp_path / "edges"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["repo"], r["path"], r["module"])
+        for r in spark.read.parquet(str(tmp_path / "edges")).collect()
+    }
+    batch = {
+        (r["repo"], r["path"], r["module"])
+        for r in codegraph.import_edges(corpus).collect()
+    }
+    assert got == batch and got

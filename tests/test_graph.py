@@ -157,3 +157,43 @@ def test_hits_no_single_partition_exchange(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_pagerank_seeded(spark):
+    """Personalized PageRank: teleport mass restricted to the seed
+    set, so nodes unreachable from any seed score exactly 0; the
+    local numpy gate and the distributed loop agree."""
+    # a -> b -> c  and an isolated pair d -> e
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    loc = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e, max_iter=8, seeds=seeds).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            e, max_iter=8, seeds=seeds, local_threshold=0
+        ).collect()
+    }
+    assert set(loc) == {"a", "b", "c", "d", "e"}
+    assert all(abs(loc[k] - dist[k]) < 1e-9 for k in loc)
+    # only the seed teleports; everything flows from it
+    assert loc["a"] == 0.1
+    assert loc["b"] > loc["c"] > 0
+    # unreachable from the seed set: exactly zero
+    assert loc["d"] == 0.0 and loc["e"] == 0.0
+
+
+def test_pagerank_seeds_all_equals_classic(spark):
+    """Seeding EVERY node reproduces the classic recurrence exactly."""
+    e = spark.createDataFrame([(1, 99), (2, 99), (99, 1)], "src long, dst long")
+    all_nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    classic = {r["node"]: r["rank"] for r in graph.pagerank(e, max_iter=6).collect()}
+    seeded = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(e, max_iter=6, seeds=all_nodes).collect()
+    }
+    assert classic == seeded
