@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "code_funnel",
     "latest_snapshot",
     "repo_pagerank_seeded",
+    "symbol_resolve",
 ]
 
 

@@ -267,3 +267,95 @@ def repo_families(dep_edges: DataFrame, min_weight: int = 2) -> DataFrame:
     labeled = names.join(cc, "node")
     fam = labeled.groupBy("component").agg(F.min("repo").alias("family"))
     return labeled.join(fam, "component").select("repo", "family")
+
+
+def symbol_resolve(
+    files: DataFrame,
+    max_candidates: int = 64,
+    alpha: float = 0.1,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Disambiguation for AMBIGUOUS symbol references — the code twin
+    of the flagship's graph resolvers (EntityDisambiguation's
+    degree/PageRank strategies re-targeted at repos): for every
+    (caller_repo, symbol) call site whose symbol has 2..max_candidates
+    defining repos, pick ONE definition by the cascade
+
+    1. ``local``      — the caller repo defines the symbol itself,
+    2. ``dependency`` — the caller imports the candidate repo
+       (repo_dependencies evidence; heavier edges win),
+    3. ``rank``       — highest dependency-PageRank candidate
+       (6-decimal rounded BOTH here and in the oracle, so a float ulp
+       can never flip the argmax), ties to the smallest repo.
+
+    Output: ``(caller_repo, symbol, resolved_repo, n_candidates,
+    via)``. Unique-definition symbols stay with :func:`symbol_xref`
+    (no disambiguation needed); symbols defined in more than
+    ``max_candidates`` repos are dropped — at that fan-out the name
+    carries no signal (``main``), the same cap philosophy as
+    MAX_DEF_REPOS. The candidate join is bounded by the cap, the
+    scoring joins are on (caller, candidate) repo pairs, and the
+    argmax is a ≤max_candidates-row window per call site."""
+    from pyspark.sql import Window
+
+    defs = symbol_defs(files).select("repo", "symbol").distinct()
+    counts = defs.groupBy("symbol").agg(F.count("*").alias("n_candidates"))
+    amb = (
+        defs.join(counts, "symbol")
+        .filter(
+            (F.col("n_candidates") > 1)
+            & (F.col("n_candidates") <= max_candidates)
+        )
+        .select("symbol", F.col("repo").alias("cand"), "n_candidates")
+    )
+    calls = (
+        call_sites(files)
+        .select(F.col("repo").alias("caller_repo"), "symbol")
+        .distinct()
+    )
+    deps = repo_dependencies(files).localCheckpoint(eager=False)
+    ranks = repo_rank(deps, alpha=alpha, max_iter=max_iter).select(
+        F.col("repo").alias("cand"), F.round("rank", 6).alias("cand_rank")
+    )
+    scored = (
+        calls.join(amb, "symbol")
+        .join(
+            deps.select(
+                F.col("src_repo").alias("caller_repo"),
+                F.col("dst_repo").alias("cand"),
+                "weight",
+            ),
+            ["caller_repo", "cand"],
+            "left",
+        )
+        .join(ranks, "cand", "left")
+        .select(
+            "caller_repo",
+            "symbol",
+            "cand",
+            "n_candidates",
+            (F.col("cand") == F.col("caller_repo")).cast("int").alias("is_local"),
+            F.coalesce("weight", F.lit(0)).alias("dep_weight"),
+            F.coalesce("cand_rank", F.lit(0.0)).alias("cand_rank"),
+        )
+    )
+    w = Window.partitionBy("caller_repo", "symbol").orderBy(
+        F.col("is_local").desc(),
+        F.col("dep_weight").desc(),
+        F.col("cand_rank").desc(),
+        F.col("cand").asc(),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "caller_repo",
+            "symbol",
+            F.col("cand").alias("resolved_repo"),
+            "n_candidates",
+            F.when(F.col("is_local") == 1, F.lit("local"))
+            .when(F.col("dep_weight") > 0, F.lit("dependency"))
+            .otherwise(F.lit("rank"))
+            .alias("via"),
+        )
+    )

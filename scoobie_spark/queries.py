@@ -3554,20 +3554,13 @@ def q_repo_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_repo_pagerank(iters: int = 15, seeded: bool = False) -> str:
-    """15 unrolled damped f64 iterations (same recurrence as
+def _sql_pagerank_ctes(flag: str = "1.0", iters: int = 15) -> str:
+    """Unrolled damped f64 iterations over ``deps`` (same recurrence as
     graph.pagerank: r = 0.1·flag + 0.9·Σ r/outdeg from r0 = flag, with
     flag ≡ 1 classic / seed-indicator personalized; the unrolled
     plain-WITH chain is the _pagerank_score_sql pattern from
-    flagship_sql.py at repo granularity)."""
-    flag = (
-        "CASE WHEN CAST(substr(repo, 2) AS BIGINT) % 10 = 0"
-        " THEN 1.0 ELSE 0.0 END"
-        if seeded
-        else "1.0"
-    )
+    flagship_sql.py at repo granularity). Ends at ``pr{iters}``."""
     ctes = [
-        _sql_codegraph_ctes(),
         f"""nodes AS (
   SELECT repo, CAST({flag} AS DOUBLE) AS flag FROM (
     SELECT DISTINCT repo FROM (
@@ -3588,8 +3581,20 @@ def _sql_repo_pagerank(iters: int = 15, seeded: bool = False) -> str:
     JOIN outs o ON o.src_repo = e.src_repo
     GROUP BY 1) c ON c.repo = n.repo
 )""")
-    body = ",\n".join(ctes)
-    return f"WITH {body}\nSELECT repo, round(r, 6) AS rank FROM pr{iters}"
+    return ",\n".join(ctes)
+
+
+def _sql_repo_pagerank(iters: int = 15, seeded: bool = False) -> str:
+    flag = (
+        "CASE WHEN CAST(substr(repo, 2) AS BIGINT) % 10 = 0"
+        " THEN 1.0 ELSE 0.0 END"
+        if seeded
+        else "1.0"
+    )
+    return (
+        f"WITH {_sql_codegraph_ctes()},\n{_sql_pagerank_ctes(flag, iters)}\n"
+        f"SELECT repo, round(r, 6) AS rank FROM pr{iters}"
+    )
 
 
 def q_repo_pagerank_seeded(spark: SparkSession, sf: str) -> DataFrame:
@@ -3639,11 +3644,13 @@ def q_symbol_xref(spark: SparkSession, sf: str) -> DataFrame:
     return codegraph.symbol_xref(_repo_files(spark, sf))
 
 
-def _sql_symbol_xref() -> str:
+def _sql_callsites_ctes() -> str:
+    """Shared call-site CTEs over ``files``/``sdefs``: ends at
+    ``xcalls(repo, path, symbol)`` — distinct called identifiers per
+    file minus the file's own definitions."""
     from .extras import codegraph as cg
 
-    return f"""WITH {_sql_codegraph_ctes()},
-calls AS (
+    return f"""calls AS (
   SELECT DISTINCT repo, path, symbol FROM (
     SELECT repo, path, unnest(regexp_extract_all(content, '{cg.CALL_RE}', 1)) AS symbol FROM files)
 ),
@@ -3653,7 +3660,12 @@ xcalls AS (
   WHERE NOT EXISTS (
     SELECT 1 FROM owndef o
     WHERE o.repo = c.repo AND o.path = c.path AND o.symbol = c.symbol)
-),
+)"""
+
+
+def _sql_symbol_xref() -> str:
+    return f"""WITH {_sql_codegraph_ctes()},
+{_sql_callsites_ctes()},
 udefs AS (
   SELECT symbol, min(repo) AS def_repo
   FROM (SELECT DISTINCT repo, symbol FROM sdefs)
@@ -3770,6 +3782,54 @@ SELECT path,
                            x -> regexp_matches(x, '{COMMENT_LINE_RE}')))
          <= 4 * len(string_split(content, chr(10))) AS keep
 FROM files"""
+
+
+def q_symbol_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph-based disambiguation of AMBIGUOUS symbol references
+    (extras.codegraph.symbol_resolve — the code twin of the flagship's
+    graph resolvers): local definition > dependency evidence >
+    dependency-PageRank (6-decimal rounded in BOTH engines, so a
+    float ulp cannot flip the argmax) > smallest repo. The synthesis's
+    C<k> class names (≈38 defining repos each at sf0.01) are the
+    ambiguous population; helper<k> (≈70 repos) exceeds the
+    max_candidates=64 signal cap and drops."""
+    from .extras import codegraph
+
+    return codegraph.symbol_resolve(_repo_files(spark, sf), max_candidates=64)
+
+
+def _sql_symbol_resolve(max_candidates: int = 64) -> str:
+    return f"""WITH {_sql_codegraph_ctes()},
+{_sql_callsites_ctes()},
+{_sql_pagerank_ctes("1.0", 15)},
+sdistinct AS (SELECT DISTINCT repo, symbol FROM sdefs),
+scounts AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_candidates FROM sdistinct GROUP BY 1),
+amb AS (
+  SELECT s.symbol, s.repo AS cand, c.n_candidates
+  FROM sdistinct s JOIN scounts c USING (symbol)
+  WHERE c.n_candidates > 1 AND c.n_candidates <= {max_candidates}
+),
+ccalls AS (SELECT DISTINCT repo AS caller_repo, symbol FROM xcalls),
+pranks AS (SELECT repo AS cand, round(r, 6) AS cand_rank FROM pr15),
+scored AS (
+  SELECT c.caller_repo, c.symbol, a.cand, a.n_candidates,
+         CASE WHEN a.cand = c.caller_repo THEN 1 ELSE 0 END AS is_local,
+         coalesce(d.weight, 0) AS dep_weight,
+         coalesce(p.cand_rank, 0.0) AS cand_rank
+  FROM ccalls c JOIN amb a USING (symbol)
+  LEFT JOIN deps d ON d.src_repo = c.caller_repo AND d.dst_repo = a.cand
+  LEFT JOIN pranks p ON p.cand = a.cand
+)
+SELECT caller_repo, symbol, cand AS resolved_repo, n_candidates,
+       CASE WHEN is_local = 1 THEN 'local'
+            WHEN dep_weight > 0 THEN 'dependency'
+            ELSE 'rank' END AS via
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY caller_repo, symbol
+    ORDER BY is_local DESC, dep_weight DESC, cand_rank DESC, cand ASC) AS rn
+  FROM scored)
+WHERE rn = 1"""
 
 
 def q_code_funnel(spark: SparkSession, sf: str) -> DataFrame:
@@ -3919,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_pagerank_seeded": q_repo_pagerank_seeded,
         "symbol_ambiguity": q_symbol_ambiguity,
         "symbol_xref": q_symbol_xref,
+        "symbol_resolve": q_symbol_resolve,
         "dedup_functions": q_dedup_functions,
         "repo_concat": q_repo_concat,
         "repo_families": q_repo_families,
@@ -4027,6 +4088,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_pagerank_seeded": _sql_repo_pagerank(seeded=True),
         "symbol_ambiguity": _sql_symbol_ambiguity(),
         "symbol_xref": _sql_symbol_xref(),
+        "symbol_resolve": _sql_symbol_resolve(),
         "dedup_functions": _sql_dedup_functions(),
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),

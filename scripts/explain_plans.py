@@ -89,6 +89,8 @@ DEFAULT = [
     "code_funnel",
     # HEAD snapshot: ONE partial-agg struct-max groupBy, no window
     "latest_snapshot",
+    # disambiguation: capped candidate join + bounded per-call-site window
+    "symbol_resolve",
 ]
 
 # queries whose semantics genuinely require one global exchange

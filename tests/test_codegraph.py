@@ -180,3 +180,28 @@ def test_streaming_code_edges(spark, corpus, tmp_path):
         for r in codegraph.import_edges(corpus).collect()
     }
     assert got == batch and got
+
+
+def test_symbol_resolve_cascade(spark):
+    """local > dependency > rank > min-repo: r4 calls its own repo's
+    symbol (local), r5 depends on r2 (dependency), r3 has no evidence
+    and takes the highest-PageRank candidate (r2, the only repo with
+    dependency inflow)."""
+    rows = [
+        ("r1", "a.py", "def common(x):\n    return 1\n"),
+        ("r2", "m2.py", "def common(x):\n    return 2\n"),
+        ("r4", "b.py", "def common(x):\n    return 4\n"),
+        ("r4", "use.py", "y = common(3)\n"),
+        ("r5", "c.py", "import m2\nz = common(5)\n"),
+        ("r3", "d.py", "w = common(7)\n"),
+    ]
+    files = _files(spark, rows)
+    out = {
+        (r.caller_repo, r.symbol): (r.resolved_repo, r.via, r.n_candidates)
+        for r in codegraph.symbol_resolve(files).collect()
+    }
+    assert out[("r4", "common")] == ("r4", "local", 3)
+    assert out[("r5", "common")] == ("r2", "dependency", 3)
+    assert out[("r3", "common")] == ("r2", "rank", 3)
+    # cap: with max_candidates=2 the 3-way symbol carries no signal
+    assert codegraph.symbol_resolve(files, max_candidates=2).count() == 0
