@@ -44,10 +44,13 @@ Scale design (100 TB / 10^12 files):
   the symbol with at most one definition row per key — AQE handles any
   residual caller-side skew.
 * All counters are exact integers; the only floats are PageRank scores
-  (f64, fixed iteration count), so every operator here carries a full
-  DuckDB value oracle (queries.py ``code_import_edges``,
-  ``repo_dependencies``, ``repo_pagerank``, ``symbol_ambiguity``,
-  ``symbol_xref``).
+  (f64, fixed iteration count, 6-decimal-rounded before any ordering
+  decision), so every operator here carries a full DuckDB value oracle
+  (queries.py ``code_import_edges``, ``repo_dependencies``,
+  ``repo_pagerank``, ``repo_pagerank_seeded``, ``symbol_ambiguity``,
+  ``symbol_xref``, ``symbol_resolve``, ``repo_families``). The family
+  is streaming-capable: ``streaming.streaming_code_edges`` maintains
+  the import-edge table over a streaming repo-file source.
 
 The regex subset used (character classes, ``(?:^|\\n)`` in place of
 multiline anchors, no lookaround) has identical semantics in Java's
