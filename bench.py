@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "latest_snapshot",
     "repo_pagerank_seeded",
     "symbol_resolve",
+    "fork_detect",
 ]
 
 

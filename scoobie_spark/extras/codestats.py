@@ -499,3 +499,73 @@ def code_funnel(files: DataFrame) -> DataFrame:
     return agg.select(
         F.expr(f"stack(5, {stack_args}) AS (stage, n_files)")
     )
+
+
+# shas present in more than this many repos are boilerplate (empty
+# files, stock configs, LICENSE texts) — no fork evidence, and the
+# self-join skew cap (the dedup family's df-cap philosophy)
+FORK_SHA_MAX_REPOS = 100
+
+
+def fork_detect(
+    files: DataFrame,
+    min_shared: int = 2,
+    threshold_pct: int = 50,
+    sha_max_repos: int = FORK_SHA_MAX_REPOS,
+) -> DataFrame:
+    """Near-duplicate repository (fork) detection by shared file
+    content: ``(repo_a, repo_b, n_shared, n_a, n_b, jaccard)`` for
+    repo pairs sharing at least ``min_shared`` distinct content
+    digests AND a content-Jaccard of at least ``threshold_pct``/100 —
+    the gate is applied in exact integer form
+    (``100·n_shared ≥ pct·(n_a + n_b − n_shared)``), the reported
+    ``jaccard`` is 6-decimal-rounded in both engines.
+
+    Forks dominate raw repository corpora (the same project cloned
+    thousands of times); detecting them at REPO granularity is what
+    file-level dedup cannot express. Scale shape: per-repo distinct
+    content digests (one partial-agg distinct), shas present in more
+    than ``sha_max_repos`` repos dropped BEFORE the self-join
+    (boilerplate carries no fork evidence and would explode the
+    join — the dedup family's document-frequency cap), then an a<b
+    equi-join on the digest where each key now has a bounded repo
+    list, pair counting, and a broadcast-sized size join."""
+    sha = files.select(
+        "repo",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("sha"),
+    ).distinct()
+    sizes = sha.groupBy("repo").agg(F.count("*").alias("n"))
+    fanout = sha.groupBy("sha").agg(F.count("*").alias("n_repos"))
+    sha = (
+        sha.join(fanout.filter(F.col("n_repos") <= sha_max_repos), "sha")
+        .select("repo", "sha")
+    )
+    a = sha.select(F.col("repo").alias("repo_a"), "sha")
+    b = sha.select(F.col("repo").alias("repo_b"), "sha")
+    pairs = (
+        a.join(b, "sha")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a")), "repo_a")
+        .join(sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b")), "repo_b")
+        .filter(
+            100 * F.col("n_shared")
+            >= threshold_pct * (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
+        .select(
+            "repo_a",
+            "repo_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

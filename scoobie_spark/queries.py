@@ -3932,6 +3932,67 @@ SELECT repo, path,
 FROM versions GROUP BY repo, path"""
 
 
+def q_fork_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Fork detection (extras.codestats.fork_detect): every repo
+    r<j> with j ≡ 3 (mod 10) gets a PARTIAL fork f<j> carrying the
+    same files except those with doc_id ≡ 0 (mod 3) — ten
+    (fork, original) pairs at content-Jaccard ≈ 2/3, which the
+    integer 50%-gate keeps; all other repo pairs share nothing."""
+    from .extras.codestats import fork_detect
+
+    base = _repo_files(spark, sf)
+    d = F.regexp_extract("path", r"m(\d+)\.py", 1).cast("long")
+    forks = (
+        base.filter(
+            (F.pmod(F.pmod(d, F.lit(97)), F.lit(10)) == 3)
+            & (F.pmod(d, F.lit(3)) != 0)
+        )
+        .select(
+            F.concat(F.lit("f"), F.pmod(d, F.lit(97)).cast("string")).alias(
+                "repo"
+            ),
+            "path",
+            "content",
+        )
+    )
+    return fork_detect(base.unionByName(forks))
+
+
+def _sql_fork_detect(
+    min_shared: int = 2, threshold_pct: int = 50, sha_max_repos: int = 100
+) -> str:
+    return f"""
+WITH {_SQL_REPO_FILES},
+allfiles AS (
+  SELECT repo, path, content FROM files
+  UNION ALL
+  SELECT 'f' || CAST(CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 97 AS VARCHAR),
+         path, content
+  FROM files
+  WHERE (CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 97) % 10 = 3
+    AND CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 3 <> 0
+),
+sha AS (SELECT DISTINCT repo, sha256(coalesce(content, '')) AS sha FROM allfiles),
+sizes AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM sha GROUP BY 1),
+kept AS (
+  SELECT s.repo, s.sha FROM sha s
+  JOIN (SELECT sha FROM sha GROUP BY sha HAVING count(*) <= {sha_max_repos}) f
+  USING (sha)
+),
+pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.sha = b.sha AND a.repo < b.repo
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
+)
+SELECT p.repo_a, p.repo_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+       round(p.n_shared * 1.0 / (sa.n + sb.n - p.n_shared), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.repo = p.repo_a
+JOIN sizes sb ON sb.repo = p.repo_b
+WHERE 100 * p.n_shared >= {threshold_pct} * (sa.n + sb.n - p.n_shared)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -3980,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_ambiguity": q_symbol_ambiguity,
         "symbol_xref": q_symbol_xref,
         "symbol_resolve": q_symbol_resolve,
+        "fork_detect": q_fork_detect,
         "dedup_functions": q_dedup_functions,
         "repo_concat": q_repo_concat,
         "repo_families": q_repo_families,
@@ -4089,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "symbol_ambiguity": _sql_symbol_ambiguity(),
         "symbol_xref": _sql_symbol_xref(),
         "symbol_resolve": _sql_symbol_resolve(),
+        "fork_detect": _sql_fork_detect(),
         "dedup_functions": _sql_dedup_functions(),
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),

@@ -91,6 +91,8 @@ DEFAULT = [
     "latest_snapshot",
     # disambiguation: capped candidate join + bounded per-call-site window
     "symbol_resolve",
+    # forks: digest self-join behind the boilerplate df-cap, int gates
+    "fork_detect",
 ]
 
 # queries whose semantics genuinely require one global exchange
