@@ -93,10 +93,20 @@ def _extract(files: DataFrame, pattern: str, out: str) -> DataFrame:
 
 def import_edges(files: DataFrame) -> DataFrame:
     """(repo, path, module): distinct modules each file imports, from
-    both ``import x`` and ``from x import y`` forms."""
-    imports = _extract(files, IMPORT_RE, "module")
-    froms = _extract(files, FROM_RE, "module")
-    return imports.unionByName(froms).distinct()
+    both ``import x`` and ``from x import y`` forms. Both regexes run
+    in ONE content pass (array_union inside the scan projection — at
+    100 TB a second pass over the corpus is a second full scan)."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    return files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.array_union(
+                F.regexp_extract_all(c, F.lit(IMPORT_RE), F.lit(1)),
+                F.regexp_extract_all(c, F.lit(FROM_RE), F.lit(1)),
+            )
+        ).alias("module"),
+    ).distinct()
 
 
 def module_defs(files: DataFrame) -> DataFrame:
@@ -176,12 +186,24 @@ def repo_rank(
 def symbol_defs(files: DataFrame) -> DataFrame:
     """(repo, path, symbol, kind): distinct ``def``/``class``
     definitions per file. A name defined both ways in one file yields
-    two rows (distinct kinds)."""
-    defs = _extract(files, DEF_RE, "symbol").withColumn("kind", F.lit("def"))
-    classes = _extract(files, CLASS_RE, "symbol").withColumn(
-        "kind", F.lit("class")
+    two rows (distinct kinds). Both regexes run in ONE content pass
+    (kind-tagged structs unioned inside the scan projection)."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    tagged = F.array_union(
+        F.transform(
+            F.regexp_extract_all(c, F.lit(DEF_RE), F.lit(1)),
+            lambda x: F.struct(x.alias("symbol"), F.lit("def").alias("kind")),
+        ),
+        F.transform(
+            F.regexp_extract_all(c, F.lit(CLASS_RE), F.lit(1)),
+            lambda x: F.struct(x.alias("symbol"), F.lit("class").alias("kind")),
+        ),
     )
-    return defs.unionByName(classes).distinct()
+    return (
+        files.select("repo", "path", F.explode(tagged).alias("t"))
+        .select("repo", "path", F.col("t.symbol"), F.col("t.kind"))
+        .distinct()
+    )
 
 
 def symbol_ambiguity(files: DataFrame) -> DataFrame:
@@ -201,13 +223,18 @@ def symbol_ambiguity(files: DataFrame) -> DataFrame:
     )
 
 
-def call_sites(files: DataFrame) -> DataFrame:
+def call_sites(files: DataFrame, defs: DataFrame | None = None) -> DataFrame:
     """(repo, path, symbol): distinct called identifiers per file,
     minus the file's own definitions (a ``def f`` line also matches the
     call pattern; the anti-join removes it and, with it, intra-file
-    recursion — cross-file usage is the linking target)."""
+    recursion — cross-file usage is the linking target). Compound
+    operators pass their already-computed :func:`symbol_defs` table as
+    ``defs`` so the definition extraction runs one content pass, not
+    one per consumer."""
     calls = _extract(files, CALL_RE, "symbol")
-    own = symbol_defs(files).select("repo", "path", "symbol").distinct()
+    if defs is None:
+        defs = symbol_defs(files)
+    own = defs.select("repo", "path", "symbol").distinct()
     return calls.join(own, ["repo", "path", "symbol"], "left_anti")
 
 
@@ -218,8 +245,11 @@ def symbol_xref(files: DataFrame) -> DataFrame:
     counts distinct calling files. Ambiguous symbols are reported by
     :func:`symbol_ambiguity`, never linked; the unique-defs filter is
     an aggregation on the (small) definition side, applied BEFORE the
-    call-site join, so no hot-symbol join pair ever forms."""
-    defs = symbol_defs(files).select("repo", "symbol").distinct()
+    call-site join, so no hot-symbol join pair ever forms. The defs
+    extraction is materialized once (lazy cut) and shared with the
+    call-site own-def anti-join."""
+    defs_full = symbol_defs(files).localCheckpoint(eager=False)
+    defs = defs_full.select("repo", "symbol").distinct()
     uniq = (
         # defs is distinct (repo, symbol) pairs, so count(*) IS the
         # distinct-repo count — no distinct aggregate needed
@@ -229,7 +259,7 @@ def symbol_xref(files: DataFrame) -> DataFrame:
         .select("symbol", "def_repo")
     )
     return (
-        call_sites(files)
+        call_sites(files, defs=defs_full)
         .join(uniq, "symbol")
         .filter(F.col("repo") != F.col("def_repo"))
         .groupBy(
@@ -301,7 +331,10 @@ def symbol_resolve(
     argmax is a ≤max_candidates-row window per call site."""
     from pyspark.sql import Window
 
-    defs = symbol_defs(files).select("repo", "symbol").distinct()
+    # one defs extraction, materialized and shared by the candidate
+    # side AND the call-site own-def anti-join (one content pass)
+    defs_full = symbol_defs(files).localCheckpoint(eager=False)
+    defs = defs_full.select("repo", "symbol").distinct()
     counts = defs.groupBy("symbol").agg(F.count("*").alias("n_candidates"))
     amb = (
         defs.join(counts, "symbol")
@@ -312,7 +345,7 @@ def symbol_resolve(
         .select("symbol", F.col("repo").alias("cand"), "n_candidates")
     )
     calls = (
-        call_sites(files)
+        call_sites(files, defs=defs_full)
         .select(F.col("repo").alias("caller_repo"), "symbol")
         .distinct()
     )
