@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "repo_pagerank_seeded",
     "symbol_resolve",
     "fork_detect",
+    "repo_cycles",
 ]
 
 

@@ -395,3 +395,25 @@ def symbol_resolve(
             .alias("via"),
         )
     )
+
+
+def repo_scc(dep_edges: DataFrame) -> DataFrame:
+    """(repo, scc, scc_size): strongly connected components of the
+    repo dependency graph — mutual-dependency clusters. A dependency
+    CYCLE (A imports B imports A, possibly through intermediaries) is
+    invisible to the undirected :func:`repo_families` view; cycles
+    mark co-released project groups and are where per-repo processing
+    order stops being well-defined (the SCC condensation is the DAG a
+    dependency-ordered pipeline actually walks). ``scc`` is the
+    smallest member repo (graph.strongly_connected: driver Tarjan
+    under the size gate, the coloring decomposition at scale)."""
+    from .. import graph
+
+    e = dep_edges.select(
+        F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
+    )
+    scc = graph.strongly_connected(e)
+    sizes = scc.groupBy("scc").agg(F.count("*").alias("scc_size"))
+    return scc.join(sizes, "scc").select(
+        F.col("node").alias("repo"), "scc", "scc_size"
+    )

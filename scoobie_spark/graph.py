@@ -416,3 +416,239 @@ def hits(edges: DataFrame, max_iter: int = 10, checkpoint: bool = True) -> DataF
         if checkpoint:
             scores = scores.localCheckpoint()
     return scores
+
+
+def _scc_local(spark, nodes: DataFrame, edges: DataFrame) -> DataFrame | None:
+    """Driver-side iterative Tarjan for sub-threshold graphs, over
+    factorized node codes (explicit stack — no recursion limit).
+    Returns (node, scc) with scc = min member id, or None on NULL keys
+    (same guard as the other local gates)."""
+    import numpy as np
+
+    node_dt = nodes.schema["node"].dataType
+    npd = nodes.toPandas()["node"]
+    ep = edges.toPandas()
+    if npd.isna().any() or ep["src"].isna().any() or ep["dst"].isna().any():
+        return None
+    nv = npd.to_numpy()
+    uniq, codes = np.unique(
+        np.concatenate([nv, ep["src"].to_numpy(), ep["dst"].to_numpy()]),
+        return_inverse=True,
+    )
+    nn, ne = len(nv), len(ep)
+    cs, cd = codes[nn:nn + ne], codes[nn + ne:]
+    n = len(uniq)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in zip(cs.tolist(), cd.tolist()):
+        adj[u].append(v)
+
+    UNVISITED = -1
+    index = [UNVISITED] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    comp = [UNVISITED] * n
+    counter = 0
+    for start in range(n):
+        if index[start] != UNVISITED:
+            continue
+        # iterative Tarjan: work entries are (v, child-iterator index)
+        work = [(start, 0)]
+        while work:
+            v, ci = work[-1]
+            if ci == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            for i in range(ci, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == UNVISITED:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                root = min(members)  # codes sort like values (np.unique)
+                for w in members:
+                    comp[w] = root
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    node_codes = codes[:nn]
+    comp_arr = np.asarray(comp, dtype=np.int64)
+    out = pd.DataFrame({"node": nv, "scc": uniq[comp_arr[node_codes]]})
+    schema = T.StructType(
+        [T.StructField("node", node_dt), T.StructField("scc", node_dt)]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
+def _fixpoint_fingerprint(df: DataFrame, *cols: str) -> int:
+    row = df.agg(
+        F.count("*").alias("n"),
+        # decimal(38) accumulator: a sum of 64-bit hashes overflows long
+        # under ANSI arithmetic (same fix as _edge_fingerprint)
+        F.coalesce(
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    return hash((int(row["n"]), int(row["h"])))
+
+
+def strongly_connected(
+    edges: DataFrame,
+    max_phases: int = 30,
+    max_rounds: int = 200,
+    local_threshold: int = 1 << 20,
+) -> DataFrame:
+    """(node, scc) with scc = min node id of the strongly connected
+    component — directed-cycle structure (A depends on B depends on A),
+    which undirected :func:`connected_components` cannot see.
+
+    Distributed path: the classic coloring SCC decomposition (Orzan's
+    FB/coloring scheme, the standard Pregel formulation). Each phase
+    (1) propagates min node ids FORWARD to a fixpoint — ``color(v)`` =
+    the smallest node that reaches v, so every color class has exactly
+    one root r with color(r)=r — then (2) grows the flagged set
+    BACKWARD from each root along edges whose endpoints share the
+    color (provably sufficient: every vertex on a return path of an
+    SCC member shares the root's color), which carves exactly SCC(r)
+    for every root simultaneously; carved nodes and their edges leave
+    the graph and the next phase repeats on the rest. ≥1 SCC per color
+    class is removed per phase, so phases are bounded by the SCC-DAG
+    depth; inner fixpoints are bounded by reachability diameter, with
+    (count, hash-sum) fingerprints and a hard ``max_rounds`` raise —
+    never a silent partial answer. Every round is equi-joins +
+    grouped mins with a lineage cut, n-way parallel.
+
+    Sub-threshold graphs take a driver-side iterative Tarjan instead
+    (same gate policy as the other graph operators; differential tests
+    pin local == distributed on random digraphs)."""
+    spark = edges.sparkSession
+    base = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if local_threshold and nodes.count() <= local_threshold:
+        if nodes.count() + base.count() <= local_threshold:
+            local = _scc_local(spark, nodes, base)
+            if local is not None:
+                return local
+
+    assigned_parts: list[DataFrame] = []
+    active = nodes
+    e = base
+    for _phase in range(max_phases):
+        if e.isEmpty():
+            break
+        # (1) forward min-label coloring to fixpoint
+        color = active.withColumn("color", F.col("node")).localCheckpoint()
+        fp = _fixpoint_fingerprint(color, "node", "color")
+        for _r in range(max_rounds):
+            inflow = (
+                e.join(
+                    color.select(
+                        F.col("node").alias("src"), F.col("color").alias("c_src")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("c_src").alias("cin"))
+            )
+            color = (
+                color.join(inflow, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("cin", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint()
+            )
+            new_fp = _fixpoint_fingerprint(color, "node", "color")
+            if new_fp == fp:
+                break
+            fp = new_fp
+        else:
+            raise RuntimeError(
+                f"strongly_connected coloring did not converge in "
+                f"{max_rounds} rounds — raise max_rounds"
+            )
+        # (2) backward carve within color, starting at the roots
+        grown = (
+            color.filter(F.col("color") == F.col("node"))
+            .select("node", "color")
+            .localCheckpoint()
+        )
+        n_grown = grown.count()
+        for _r in range(max_rounds):
+            add = (
+                e.join(
+                    grown.select(
+                        F.col("node").alias("dst"), F.col("color").alias("fc")
+                    ),
+                    "dst",
+                )
+                .join(
+                    color.select(
+                        F.col("node").alias("src"), F.col("color").alias("c_src")
+                    ),
+                    "src",
+                )
+                .filter(F.col("c_src") == F.col("fc"))
+                .select(F.col("src").alias("node"), F.col("c_src").alias("color"))
+            )
+            grown = grown.unionByName(add).distinct().localCheckpoint()
+            new_n = grown.count()
+            if new_n == n_grown:
+                break
+            n_grown = new_n
+        else:
+            raise RuntimeError(
+                f"strongly_connected carve did not converge in "
+                f"{max_rounds} rounds — raise max_rounds"
+            )
+        assigned_parts.append(grown.select("node", F.col("color").alias("scc")))
+        carved = grown.select("node").localCheckpoint()
+        active = active.join(carved, "node", "left_anti").localCheckpoint()
+        e = (
+            e.join(carved.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(carved.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"strongly_connected did not finish in {max_phases} phases — "
+            f"raise max_phases"
+        )
+    # edge-free leftovers are singleton SCCs
+    assigned_parts.append(active.select("node", F.col("node").alias("scc")))
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionByName(part)
+    return out

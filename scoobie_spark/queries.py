@@ -3993,6 +3993,48 @@ JOIN sizes sb ON sb.repo = p.repo_b
 WHERE 100 * p.n_shared >= {threshold_pct} * (sa.n + sb.n - p.n_shared)"""
 
 
+def q_repo_cycles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-dependency clusters (extras.codegraph.repo_scc →
+    graph.strongly_connected): SCCs of a deterministic 1/7 edge
+    subsample of the dependency graph — the sparse regime where cycle
+    structure is non-trivial (65 SCCs, largest 13 at sf0.01; the full
+    968-edge graph is ONE giant cycle, which the same operator also
+    handles — asserted in test_codegraph). Oracle: recursive-CTE
+    mutual-reachability closure (scc = min over nodes reachable in
+    BOTH directions)."""
+    from .extras import codegraph
+
+    deps = codegraph.repo_dependencies(_repo_files(spark, sf))
+    num = lambda c: F.substring(c, 2, 10).cast("long")  # noqa: E731
+    sub = deps.filter(
+        F.pmod(num(F.col("src_repo")) * 31 + num(F.col("dst_repo")), F.lit(7))
+        == 0
+    )
+    return codegraph.repo_scc(sub)
+
+
+def _sql_repo_cycles() -> str:
+    return f"""WITH RECURSIVE {_sql_codegraph_ctes()},
+e AS (
+  SELECT src_repo AS s, dst_repo AS d FROM deps
+  WHERE (CAST(substr(src_repo, 2) AS BIGINT) * 31
+         + CAST(substr(dst_repo, 2) AS BIGINT)) % 7 = 0
+),
+gnodes AS (SELECT DISTINCT n FROM (SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+reach(a, b) AS (
+  SELECT n, n FROM gnodes
+  UNION
+  SELECT reach.a, e.d FROM reach JOIN e ON reach.b = e.s
+),
+scc AS (
+  SELECT r1.a AS repo, min(r1.b) AS scc
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a
+),
+sizes AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size FROM scc GROUP BY 1)
+SELECT s.repo, s.scc, z.scc_size FROM scc s JOIN sizes z USING (scc)"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -4042,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_xref": q_symbol_xref,
         "symbol_resolve": q_symbol_resolve,
         "fork_detect": q_fork_detect,
+        "repo_cycles": q_repo_cycles,
         "dedup_functions": q_dedup_functions,
         "repo_concat": q_repo_concat,
         "repo_families": q_repo_families,
@@ -4152,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "symbol_xref": _sql_symbol_xref(),
         "symbol_resolve": _sql_symbol_resolve(),
         "fork_detect": _sql_fork_detect(),
+        "repo_cycles": _sql_repo_cycles(),
         "dedup_functions": _sql_dedup_functions(),
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),

@@ -93,6 +93,9 @@ DEFAULT = [
     "symbol_resolve",
     # forks: digest self-join behind the boilerplate df-cap, int gates
     "fork_detect",
+    # SCC: local Tarjan gate here; the distributed coloring path is
+    # join-per-round (audited by its own differential tests)
+    "repo_cycles",
 ]
 
 # queries whose semantics genuinely require one global exchange

@@ -205,3 +205,37 @@ def test_symbol_resolve_cascade(spark):
     assert out[("r3", "common")] == ("r2", "rank", 3)
     # cap: with max_candidates=2 the 3-way symbol carries no signal
     assert codegraph.symbol_resolve(files, max_candidates=2).count() == 0
+
+
+def test_repo_scc(spark):
+    """Cycle r1<->r2 (through weights) is one SCC; r3 only depends
+    outward (singleton); a 3-cycle r4->r5->r6->r4 is one SCC."""
+    deps = spark.createDataFrame(
+        [
+            ("r1", "r2", 2), ("r2", "r1", 1),
+            ("r3", "r1", 5),
+            ("r4", "r5", 1), ("r5", "r6", 1), ("r6", "r4", 1),
+        ],
+        "src_repo string, dst_repo string, weight long",
+    )
+    out = {r.repo: (r.scc, r.scc_size) for r in codegraph.repo_scc(deps).collect()}
+    assert out["r1"] == ("r1", 2) and out["r2"] == ("r1", 2)
+    assert out["r3"] == ("r3", 1)
+    assert out["r4"] == out["r5"] == out["r6"] == ("r4", 3)
+
+
+def test_repo_scc_full_graph_is_one_cycle(spark):
+    """The full sf0.001 dependency graph (dense, 968-ish edges at
+    sf0.01 scale) collapses to ONE giant SCC — the degenerate case the
+    repo_cycles query's subsample deliberately avoids, handled
+    correctly by the same operator."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scoobie_spark.queries import _repo_files
+
+    files = _repo_files(spark, "/root/testdata/sf0.001")
+    deps = codegraph.repo_dependencies(files)
+    out = codegraph.repo_scc(deps)
+    sizes = {r.scc_size for r in out.collect()}
+    assert sizes == {97}

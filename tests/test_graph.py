@@ -197,3 +197,77 @@ def test_pagerank_seeds_all_equals_classic(spark):
         for r in graph.pagerank(e, max_iter=6, seeds=all_nodes).collect()
     }
     assert classic == seeded
+
+
+@LOCAL_OR_DIST
+def test_scc_random_vs_kosaraju(spark, thr):
+    """Differential: random digraphs vs a python Kosaraju oracle —
+    exact (node → min-node-of-SCC) maps must match on both the local
+    Tarjan gate and the distributed coloring decomposition."""
+    import random
+
+    random.seed(47)
+    trials = 12 if thr else 4  # the distributed path is many jobs
+    for trial in range(trials):
+        n = random.randint(2, 18 if thr == 0 else 40)
+        es = list(
+            {
+                (random.randrange(n), random.randrange(n))
+                for _ in range(random.randint(1, 3 * n))
+            }
+        )
+        es = [(a, b) for a, b in es if a != b]
+        if not es:
+            continue
+
+        # Kosaraju oracle
+        adj: dict[int, list[int]] = {}
+        radj: dict[int, list[int]] = {}
+        nodes = set()
+        for a, b in es:
+            adj.setdefault(a, []).append(b)
+            radj.setdefault(b, []).append(a)
+            nodes.update((a, b))
+
+        order: list[int] = []
+        seen: set[int] = set()
+        for s in sorted(nodes):
+            if s in seen:
+                continue
+            stack = [(s, iter(adj.get(s, [])))]
+            seen.add(s)
+            while stack:
+                v, it = stack[-1]
+                for w in it:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append((w, iter(adj.get(w, []))))
+                        break
+                else:
+                    order.append(v)
+                    stack.pop()
+        want: dict[int, int] = {}
+        assigned: set[int] = set()
+        for s in reversed(order):
+            if s in assigned:
+                continue
+            members = []
+            stack2 = [s]
+            assigned.add(s)
+            while stack2:
+                v = stack2.pop()
+                members.append(v)
+                for w in radj.get(v, []):
+                    if w not in assigned:
+                        assigned.add(w)
+                        stack2.append(w)
+            root = min(members)
+            for m in members:
+                want[m] = root
+
+        e = spark.createDataFrame(es, "src long, dst long")
+        got = {
+            r["node"]: r["scc"]
+            for r in graph.strongly_connected(e, local_threshold=thr).collect()
+        }
+        assert got == want, (trial, es)
