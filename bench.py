@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "symbol_resolve",
     "fork_detect",
     "repo_cycles",
+    "code_kg_triples",
 ]
 
 

@@ -417,3 +417,51 @@ def repo_scc(dep_edges: DataFrame) -> DataFrame:
     return scc.join(sizes, "scc").select(
         F.col("node").alias("repo"), "scc", "scc_size"
     )
+
+
+def kg_triples(files: DataFrame, family_min_weight: int = 2) -> DataFrame:
+    """The code knowledge graph MATERIALIZED as (subj, pred, obj)
+    triples — the same output shape as the flagship text pipeline
+    (serialize.py), so downstream KG consumers see one contract:
+
+    * ``(src_repo, depends_on, dst_repo)`` — :func:`repo_dependencies`
+      edges (the weight stays queryable through the edge operator; the
+      triple view is the set-semantics projection),
+    * ``(repo, in_family, family)`` — :func:`repo_families` over the
+      strong edges,
+    * ``(caller_repo, uses_symbol, symbol)`` and
+      ``(symbol, defined_in, def_repo)`` — :func:`symbol_xref`'s
+      unique-sense links, split into the two relations a triple store
+      wants (the join back over ``symbol`` reconstructs the full link).
+
+    One dependency extraction feeds both graph views (lazy cut); the
+    union is distinct per relation by construction."""
+    deps = repo_dependencies(files).localCheckpoint(eager=False)
+    t_dep = deps.select(
+        F.col("src_repo").alias("subj"),
+        F.lit("depends_on").alias("pred"),
+        F.col("dst_repo").alias("obj"),
+    )
+    t_fam = repo_families(deps, min_weight=family_min_weight).select(
+        F.col("repo").alias("subj"),
+        F.lit("in_family").alias("pred"),
+        F.col("family").alias("obj"),
+    )
+    xref = symbol_xref(files).localCheckpoint(eager=False)
+    t_use = (
+        xref.select(
+            F.col("caller_repo").alias("subj"),
+            F.lit("uses_symbol").alias("pred"),
+            F.col("symbol").alias("obj"),
+        )
+        .distinct()
+    )
+    t_def = (
+        xref.select(
+            F.col("symbol").alias("subj"),
+            F.lit("defined_in").alias("pred"),
+            F.col("def_repo").alias("obj"),
+        )
+        .distinct()
+    )
+    return t_dep.unionByName(t_fam).unionByName(t_use).unionByName(t_def)

@@ -4035,6 +4035,52 @@ sizes AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size FROM scc GROUP BY 1)
 SELECT s.repo, s.scc, z.scc_size FROM scc s JOIN sizes z USING (scc)"""
 
 
+def q_code_kg_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """The materialized code knowledge graph
+    (extras.codegraph.kg_triples): depends_on / in_family /
+    uses_symbol / defined_in triples in the flagship's (subj, pred,
+    obj) contract — every component relation is itself oracle-green
+    (repo_dependencies, repo_families, symbol_xref), and this oracle
+    re-verifies the composed union value-for-value."""
+    from .extras import codegraph
+
+    return codegraph.kg_triples(_repo_files(spark, sf))
+
+
+def _sql_code_kg_triples() -> str:
+    return f"""WITH RECURSIVE {_sql_codegraph_ctes()},
+{_sql_callsites_ctes()},
+e2 AS (
+  SELECT src_repo AS src, dst_repo AS dst FROM deps WHERE weight >= 2
+  UNION
+  SELECT dst_repo, src_repo FROM deps WHERE weight >= 2
+),
+fnodes AS (SELECT DISTINCT src AS node FROM e2),
+freach(node, r) AS (
+  SELECT node, node FROM fnodes
+  UNION
+  SELECT freach.node, e.dst FROM freach JOIN e2 e ON freach.r = e.src
+),
+fam AS (SELECT node AS repo, min(r) AS family FROM freach GROUP BY node),
+udefs AS (
+  SELECT symbol, min(repo) AS def_repo
+  FROM (SELECT DISTINCT repo, symbol FROM sdefs)
+  GROUP BY symbol HAVING count(*) = 1
+),
+xr AS (
+  SELECT DISTINCT x.repo AS caller_repo, u.def_repo, x.symbol
+  FROM xcalls x JOIN udefs u USING (symbol)
+  WHERE x.repo <> u.def_repo
+)
+SELECT src_repo AS subj, 'depends_on' AS pred, dst_repo AS obj FROM deps
+UNION ALL
+SELECT repo, 'in_family', family FROM fam
+UNION ALL
+SELECT DISTINCT caller_repo, 'uses_symbol', symbol FROM xr
+UNION ALL
+SELECT DISTINCT symbol, 'defined_in', def_repo FROM xr"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a6_dict_build": q_a6_dict_build,
@@ -4085,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_resolve": q_symbol_resolve,
         "fork_detect": q_fork_detect,
         "repo_cycles": q_repo_cycles,
+        "code_kg_triples": q_code_kg_triples,
         "dedup_functions": q_dedup_functions,
         "repo_concat": q_repo_concat,
         "repo_families": q_repo_families,
@@ -4196,6 +4243,7 @@ def oracle_sql() -> dict[str, str]:
         "symbol_resolve": _sql_symbol_resolve(),
         "fork_detect": _sql_fork_detect(),
         "repo_cycles": _sql_repo_cycles(),
+        "code_kg_triples": _sql_code_kg_triples(),
         "dedup_functions": _sql_dedup_functions(),
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),

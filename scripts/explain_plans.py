@@ -96,6 +96,8 @@ DEFAULT = [
     # SCC: local Tarjan gate here; the distributed coloring path is
     # join-per-round (audited by its own differential tests)
     "repo_cycles",
+    # the materialized KG: union of the component relations
+    "code_kg_triples",
 ]
 
 # queries whose semantics genuinely require one global exchange

@@ -239,3 +239,31 @@ def test_repo_scc_full_graph_is_one_cycle(spark):
     out = codegraph.repo_scc(deps)
     sizes = {r.scc_size for r in out.collect()}
     assert sizes == {97}
+
+
+def test_kg_triples_relations(spark, corpus):
+    """The materialized triple view carries all four relations and the
+    uses_symbol/defined_in split joins back to exactly the xref links."""
+    t = codegraph.kg_triples(corpus, family_min_weight=1).collect()
+    by_pred: dict[str, set] = {}
+    for r in t:
+        by_pred.setdefault(r.pred, set()).add((r.subj, r.obj))
+    assert set(by_pred) == {"depends_on", "in_family", "uses_symbol", "defined_in"}
+    # depends_on mirrors repo_dependencies' edge set
+    deps = {
+        (r.src_repo, r.dst_repo)
+        for r in codegraph.repo_dependencies(corpus).collect()
+    }
+    assert by_pred["depends_on"] == deps
+    # join-back over the symbol reconstructs the xref links
+    xref = {
+        (r.caller_repo, r.symbol, r.def_repo)
+        for r in codegraph.symbol_xref(corpus).collect()
+    }
+    joined = {
+        (c, s, d)
+        for (c, s) in by_pred["uses_symbol"]
+        for (s2, d) in by_pred["defined_in"]
+        if s == s2
+    }
+    assert joined == xref
