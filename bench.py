@@ -87,6 +87,41 @@ BENCH_QUERIES = [
 ]
 
 
+# Fast tier (VERDICT r4 item 6): queries that measure sub-0.5 s at
+# sf0.1 across rounds — narrow scans / small aggregations whose plans
+# cannot meaningfully regress at scale. They get ONE timed pass instead
+# of BENCH_RUNS, so the suite's wall-clock budget concentrates on the
+# ~10 heavy queries (flagship, dedup family, kNN/propagation) where a
+# plan regression would actually show. Work per pass is unchanged;
+# BENCH_RUNS still governs every query not listed here.
+FAST_TIER = {
+    "tpch_q1",
+    "a12_cardinalities",
+    "a13_markov",
+    "b3_token_counts",
+    "dedup_exact",
+    "dedup_substrings",
+    "quality_scores",
+    "quality_repetition",
+    "sample_split",
+    "stratified_sample",
+    "sketch_distinct",
+    "length_percentiles",
+    "pii_redact",
+    "decontaminate",
+    "decontaminate_semantic",
+    "code_quality",
+    "license_detect",
+    "dedup_incremental",
+    "code_secrets",
+    "license_propagate",
+    "boilerplate_lines",
+    "events_sessionize",
+    "comment_density",
+    "latest_snapshot",
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     wanted = os.environ.get("BENCH_QUERIES")
@@ -147,7 +182,7 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in names:
         best, best_n = None, 0
-        for _ in range(runs):
+        for _ in range(1 if name in FAST_TIER else runs):
             _clean()
             t0 = time.time()
             df = qs[name](spark, sf_dir)

@@ -299,13 +299,17 @@ def dedup_functions(files: DataFrame) -> DataFrame:
     the function-granularity twin of exact file dedup (and the
     vendored-code detector file-level dedup cannot be). Pure
     aggregation over 8-byte-key-sized digests; no join, no text
-    movement; n_sites counts distinct (repo, path) occurrences."""
+    movement; n_sites counts distinct (repo, path) occurrences —
+    countDistinct, not count(*), so a multi-version input (one row per
+    commit for the same (repo, path), the stated table contract) does
+    not inflate site counts (ADVICE r4); matches the SQL twin's
+    DISTINCT-snips CTE."""
     s = function_snippets(files)
     return (
         s.groupBy("snippet_sha256")
         .agg(
             F.countDistinct("repo").alias("n_repos"),
-            F.count("*").alias("n_sites"),
+            F.countDistinct(F.struct("repo", "path")).alias("n_sites"),
         )
         .filter(F.col("n_repos") > 1)
     )
@@ -448,7 +452,12 @@ def code_funnel(files: DataFrame) -> DataFrame:
     integer/boolean, so the funnel replays exactly in SQL. The flags
     frame gets a lazy lineage cut (multiple signal joins feed one
     aggregate; same policy as curation.curation_funnel)."""
-    fkey = F.concat_ws("/", "repo", "path")
+    # NUL-separated (repo, path) key: '/' would collide for real forge
+    # names — ("a/b", "c.py") vs ("a", "b/c.py") — since repo slugs are
+    # owner/name; NUL cannot appear in a git path or a repo name, so
+    # this key is injective on (repo, path) and the per-file signal
+    # joins below cannot cross-match (ADVICE r4)
+    fkey = F.concat_ws("\x00", "repo", "path")
     f2 = files.select(
         "repo", "path", "content", fkey.alias("fkey")
     )
