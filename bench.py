@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "fork_detect",
     "repo_cycles",
     "code_kg_triples",
+    "call_graph",
+    "api_usage",
+    "repo_churn",
 ]
 
 
@@ -175,6 +178,17 @@ def main() -> None:
     import gc as _gc
 
     def _clean() -> None:
+        # localCheckpoint blocks from the PREVIOUS query's plans stay
+        # registered in the BlockManager until the ContextCleaner gets
+        # to them (async, GC-triggered); over a 60+-query suite they
+        # accumulate and the late heavy queries (knn_graph,
+        # label_propagate) measure 1.5-2x their standalone floors
+        # (BASELINE.md round-5 probe). Explicitly unpersisting the
+        # leftovers is deterministic and runs outside the timed region;
+        # every prior query's frames are dropped by this point, so
+        # nothing live is evicted.
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(False)
         _gc.collect()
         spark._jvm.System.gc()
 

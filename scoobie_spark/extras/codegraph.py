@@ -397,6 +397,111 @@ def symbol_resolve(
     )
 
 
+# module-qualified call site: `mod.attr(` — group 1 is the module.
+# No lookaround, \. and char classes only — Java/RE2-identical.
+QUALIFIED_CALL_RE = (
+    r"([A-Za-z_][A-Za-z0-9_]*)\.[A-Za-z_][A-Za-z0-9_]*[ \t]*\("
+)
+
+# the function name at the head of an already-extracted def block
+# (codestats.FUNC_RE group 1 starts exactly at the `def` keyword)
+BLOCK_DEF_RE = r"def[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+
+def call_graph(files: DataFrame) -> DataFrame:
+    """Function-level call graph: ``(repo, caller, callee, n_files)``
+    — for every top-level function (the ``def`` line plus its
+    contiguous indented block, codestats.FUNC_RE — the same no-AST
+    block heuristic :func:`..extras.codestats.function_snippets`
+    trades on), every distinct identifier it calls, with ``n_files``
+    counting the distinct files containing such a (caller, callee)
+    pair. The caller's own name is excluded (the ``def`` line matches
+    the call pattern; dropping it also drops direct recursion — the
+    KG target is the cross-function edge set).
+
+    This is the finest-grained KG layer the code family emits: the
+    flagship's mention-detection step (B8/B9 spotting) at function
+    granularity, with ``def`` blocks as the documents and call
+    identifiers as the mentions. Scale shape: block extraction +
+    per-block name/callee regexes are Column expressions fused into
+    the content scan (only identifier tokens leave the scan); the one
+    shuffle is the final count aggregation on (repo, caller, callee)
+    token keys. Zero Python."""
+    from .codestats import FUNC_RE
+
+    c = F.coalesce(F.col("content"), F.lit(""))
+    b = files.select(
+        "repo",
+        "path",
+        F.explode(F.regexp_extract_all(c, F.lit(FUNC_RE), F.lit(1))).alias(
+            "block"
+        ),
+    )
+    caller = F.regexp_extract("block", BLOCK_DEF_RE, 1)
+    callees = F.array_distinct(
+        F.regexp_extract_all("block", F.lit(CALL_RE), F.lit(1))
+    )
+    edges = (
+        b.select(
+            "repo",
+            "path",
+            caller.alias("caller"),
+            F.explode(callees).alias("callee"),
+        )
+        .filter(F.col("callee") != F.col("caller"))
+    )
+    return edges.groupBy("repo", "caller", "callee").agg(
+        F.countDistinct("path").alias("n_files")
+    )
+
+
+def api_usage(files: DataFrame, k: int = 5) -> DataFrame:
+    """External-API usage mining: ``(repo, module, n_calls, n_files,
+    rank)`` — the top ``k`` modules each repo calls through qualified
+    attribute access (``mod.attr(...)``), EXCLUDING modules the repo
+    defines itself (left-anti on :func:`module_defs`, so the view is
+    genuine external-dependency usage intensity, not intra-repo
+    plumbing). ``n_calls`` counts every qualified call site (all
+    occurrences — usage intensity, not reach), ``n_files`` the
+    distinct files; rank orders by n_calls DESC with a module-name
+    tie-break, so every decision is integer-deterministic.
+
+    The dependency-graph twin of :func:`repo_dependencies` at CALL
+    granularity: edges there say "imports", rows here say "how hard
+    the API is actually exercised" — the signal dependency-pruning
+    and API-stability studies want. Scale shape: one scan-fused
+    regexp pass, an anti-join against the small module-definition
+    table, a count aggregation, and a per-repo top-k window bounded
+    by each repo's distinct module fan-out."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    u = files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.regexp_extract_all(c, F.lit(QUALIFIED_CALL_RE), F.lit(1))
+        ).alias("module"),
+    )
+    own = module_defs(files).select(
+        F.col("def_repo").alias("repo"), "module"
+    )
+    agg = (
+        u.join(own, ["repo", "module"], "left_anti")
+        .groupBy("repo", "module")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.countDistinct("path").alias("n_files"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("repo").orderBy(
+        F.col("n_calls").desc(), F.col("module").asc()
+    )
+    return agg.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def repo_scc(dep_edges: DataFrame) -> DataFrame:
     """(repo, scc, scc_size): strongly connected components of the
     repo dependency graph — mutual-dependency clusters. A dependency

@@ -428,6 +428,46 @@ def latest_snapshot(files: DataFrame, commit: str = "commit") -> DataFrame:
     )
 
 
+def repo_churn(files: DataFrame, commit: str = "commit") -> DataFrame:
+    """Per-repo version-churn statistics over the multi-version table
+    ``(repo, path, commit, content)``: ``(repo, n_files, n_changed,
+    n_versions, churn_bp)`` — ``n_files`` distinct paths,
+    ``n_changed`` paths whose content actually differs across commits
+    (distinct digests > 1: a re-commit of identical bytes is not
+    churn), ``n_versions`` total version rows, and ``churn_bp`` the
+    changed-file share in integer basis points
+    (``10000·n_changed div n_files`` — floor division in both engines,
+    so the DuckDB oracle replays exactly; no float ratio).
+
+    The crawl-refresh prioritizer: repos with high churn_bp need
+    re-snapshotting, frozen repos can keep their cached extraction
+    (the incremental-dedup counterpart on the version axis). Scale
+    shape: digests computed inside the scan projection (sha256, no
+    content leaves the scan), ONE partial-aggregated groupBy per
+    granularity level, no window, no join."""
+    per = (
+        files.groupBy("repo", "path")
+        .agg(
+            F.count("*").alias("nv"),
+            F.countDistinct(
+                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+            ).alias("nc"),
+        )
+    )
+    return (
+        per.groupBy("repo")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.count(F.when(F.col("nc") > 1, 1)).alias("n_changed"),
+            F.sum("nv").cast("long").alias("n_versions"),
+        )
+        .withColumn(
+            "churn_bp",
+            F.expr("CAST(10000 * n_changed DIV n_files AS BIGINT)"),
+        )
+    )
+
+
 # code-curation funnel stages, in drop order
 CODE_FUNNEL_STAGES = ["all", "quality", "license", "comments", "exact_dedup"]
 

@@ -3943,6 +3943,124 @@ SELECT repo, path,
 FROM versions GROUP BY repo, path"""
 
 
+def q_call_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Function-level call graph (extras.codegraph.call_graph): every
+    top-level def block's distinct called identifiers, own name
+    excluded — (repo, caller, callee, n_files). The finest-grained KG
+    layer (def blocks as documents, call identifiers as mentions);
+    block + identifier extraction is scan-fused, the one shuffle is
+    the final token-key count."""
+    from .extras import codegraph
+
+    return codegraph.call_graph(_repo_files(spark, sf))
+
+
+def _sql_call_graph() -> str:
+    from .extras.codegraph import BLOCK_DEF_RE, CALL_RE
+    from .extras.codestats import FUNC_RE
+
+    return f"""WITH {_SQL_REPO_FILES},
+blocks AS (
+  SELECT repo, path, unnest(regexp_extract_all(content, '{FUNC_RE}', 1)) AS block
+  FROM files
+),
+edges AS (
+  SELECT repo, path,
+         regexp_extract(block, '{BLOCK_DEF_RE}', 1) AS caller,
+         unnest(list_distinct(regexp_extract_all(block, '{CALL_RE}', 1))) AS callee
+  FROM blocks
+)
+SELECT repo, caller, callee, CAST(count(DISTINCT path) AS BIGINT) AS n_files
+FROM edges WHERE callee <> caller
+GROUP BY 1, 2, 3"""
+
+
+def q_api_usage(spark: SparkSession, sf: str) -> DataFrame:
+    """External-API usage mining (extras.codegraph.api_usage): per
+    repo, the top-5 externally-defined modules by qualified-call count
+    (mod.attr(...) sites), own modules anti-joined away — usage
+    INTENSITY, where repo_dependencies only records existence."""
+    from .extras import codegraph
+
+    return codegraph.api_usage(_repo_files(spark, sf), k=5)
+
+
+def _sql_api_usage() -> str:
+    from .extras.codegraph import MODULE_RE, QUALIFIED_CALL_RE
+
+    return f"""WITH {_SQL_REPO_FILES},
+qcalls AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, '{QUALIFIED_CALL_RE}', 1)) AS module
+  FROM files
+),
+own AS (
+  SELECT DISTINCT repo, regexp_extract(path, '{MODULE_RE}', 1) AS module
+  FROM files WHERE regexp_extract(path, '{MODULE_RE}', 1) <> ''
+),
+ext AS (
+  SELECT q.repo, q.path, q.module
+  FROM qcalls q LEFT JOIN own o ON o.repo = q.repo AND o.module = q.module
+  WHERE o.module IS NULL
+),
+agg AS (
+  SELECT repo, module, CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(count(DISTINCT path) AS BIGINT) AS n_files
+  FROM ext GROUP BY 1, 2
+)
+SELECT repo, module, n_calls, n_files, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo
+                               ORDER BY n_calls DESC, module) AS rank
+  FROM agg
+) WHERE rank <= 5"""
+
+
+def q_repo_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Version-churn statistics (extras.codestats.repo_churn) over a
+    three-way synthetic commit table: every file at c0, every 4th file
+    re-committed CHANGED at c1 (appended line), every d≡1 (mod 6) file
+    re-committed BYTE-IDENTICAL at c1 — the identical re-commit must
+    count in n_versions but NOT in n_changed (distinct-digest rule).
+    churn_bp is integer floor-division basis points, replayed exactly
+    in SQL."""
+    from .extras.codestats import repo_churn
+
+    base = _repo_files(spark, sf).withColumn("commit", F.lit("c0"))
+    d = F.regexp_extract("path", r"m(\d+)\.py", 1).cast("long")
+    changed = (
+        base.filter(F.pmod(d, F.lit(4)) == 0)
+        .withColumn("commit", F.lit("c1"))
+        .withColumn("content", F.concat(F.col("content"), F.lit("# v2\n")))
+    )
+    identical = base.filter(F.pmod(d, F.lit(6)) == 1).withColumn(
+        "commit", F.lit("c1")
+    )
+    return repo_churn(base.unionByName(changed).unionByName(identical))
+
+
+def _sql_repo_churn() -> str:
+    return f"""WITH {_SQL_REPO_FILES},
+versions AS (
+  SELECT repo, path, 'c0' AS commit, content FROM files
+  UNION ALL
+  SELECT repo, path, 'c1', content || '# v2' || chr(10) FROM files
+  WHERE CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 4 = 0
+  UNION ALL
+  SELECT repo, path, 'c1', content FROM files
+  WHERE CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 6 = 1
+),
+per AS (
+  SELECT repo, path, CAST(count(*) AS BIGINT) AS nv,
+         count(DISTINCT sha256(content)) AS nc
+  FROM versions GROUP BY 1, 2
+)
+SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(*) FILTER (nc > 1) AS BIGINT) AS n_changed,
+       CAST(sum(nv) AS BIGINT) AS n_versions,
+       CAST((10000 * count(*) FILTER (nc > 1)) // count(*) AS BIGINT) AS churn_bp
+FROM per GROUP BY repo"""
+
+
 def q_fork_detect(spark: SparkSession, sf: str) -> DataFrame:
     """Fork detection (extras.codestats.fork_detect): every repo
     r<j> with j ≡ 3 (mod 10) gets a PARTIAL fork f<j> carrying the
@@ -4201,6 +4319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_cycles": q_repo_cycles,
         "code_kg_triples": q_code_kg_triples,
         "dedup_functions": q_dedup_functions,
+        # ---- new in r5 (tail so the rotated-in head keeps its driver
+        # slots this round; they rotate forward next round)
+        "call_graph": q_call_graph,
+        "api_usage": q_api_usage,
+        "repo_churn": q_repo_churn,
     }
 
 
@@ -4265,6 +4388,9 @@ def oracle_sql() -> dict[str, str]:
         "repo_cycles": _sql_repo_cycles(),
         "code_kg_triples": _sql_code_kg_triples(),
         "dedup_functions": _sql_dedup_functions(),
+        "call_graph": _sql_call_graph(),
+        "api_usage": _sql_api_usage(),
+        "repo_churn": _sql_repo_churn(),
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),
         "comment_density": _sql_comment_density(),

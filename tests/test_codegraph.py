@@ -267,3 +267,64 @@ def test_kg_triples_relations(spark, corpus):
         if s == s2
     }
     assert joined == xref
+
+
+def test_call_graph_edges(spark):
+    # a calls b (bare) and c (through m.c — CALL_RE captures 'c'); the
+    # def line's own-name match and b's recursion-free body drop out;
+    # the class METHOD body is not a top-level block, so nothing from it
+    content = (
+        "def a(x):\n    return b(x) + m.c(x)\n"
+        "def b(y):\n    return y\n"
+        "class K:\n    def meth(self):\n        return hidden(1)\n"
+    )
+    df = _files(spark, [("r1", "src/x.py", content)])
+    got = {
+        (r["repo"], r["caller"], r["callee"], r["n_files"])
+        for r in codegraph.call_graph(df).collect()
+    }
+    assert got == {("r1", "a", "b", 1), ("r1", "a", "c", 1)}
+
+
+def test_call_graph_counts_distinct_files(spark):
+    content = "def f(x):\n    return g(x)\n"
+    df = _files(
+        spark,
+        [("r1", "src/x.py", content), ("r1", "src/y.py", content)],
+    )
+    out = codegraph.call_graph(df).collect()
+    assert [(r["caller"], r["callee"], r["n_files"]) for r in out] == [
+        ("f", "g", 2)
+    ]
+
+
+def test_api_usage_excludes_own_modules(spark):
+    # m1 is defined IN r1 (src/m1.py) so its qualified calls are
+    # intra-repo plumbing, not external API usage; m2 counts twice
+    df = _files(
+        spark,
+        [
+            ("r1", "src/m1.py", "m1.f(1)\nm2.g(2)\nm2.h(3)\n"),
+            ("r2", "src/m2.py", "def g(x):\n    return x\n"),
+        ],
+    )
+    out = codegraph.api_usage(df).collect()
+    rows = [
+        (r["repo"], r["module"], r["n_calls"], r["n_files"], r["rank"])
+        for r in out
+    ]
+    assert rows == [("r1", "m2", 2, 1, 1)]
+
+
+def test_api_usage_topk_and_ties(spark):
+    # three external modules with counts 2/1/1 — rank by count desc
+    # then module name asc; k=2 cuts the third
+    df = _files(
+        spark,
+        [("r1", "a.txt", "x.f(1)\nx.g(2)\nz.h(3)\ny.i(4)\n")],
+    )
+    out = codegraph.api_usage(df, k=2).collect()
+    assert [(r["module"], r["n_calls"], r["rank"]) for r in out] == [
+        ("x", 2, 1),
+        ("y", 1, 2),
+    ]

@@ -74,6 +74,9 @@ def _rows(df_rows, cols):
         "license_detect",
         "dedup_incremental",
         "bpe_pairs",
+        "call_graph",
+        "api_usage",
+        "repo_churn",
     ],
 )
 def test_derived_oracle_matches(spark, name):
