@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "call_graph",
     "api_usage",
     "repo_churn",
+    "class_methods",
+    "doc_coverage",
+    "dep_reach",
 ]
 
 

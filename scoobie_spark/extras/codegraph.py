@@ -502,6 +502,140 @@ def api_usage(files: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+# class block: the `class` line plus its contiguous indented body —
+# the class-level twin of codestats.FUNC_RE (same no-AST block trade)
+CLASS_BLOCK_RE = r"(?:^|\n)(class[ \t][^\n]*(?:\n[ \t]+[^\n]*)*)"
+
+# the class name at the head of an extracted class block
+BLOCK_CLASS_RE = r"class[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+# a def line whose block opens with a docstring (triple-quoted string
+# as the first statement) — char classes + \n only, Java/RE2-identical
+DOCSTRING_DEF_RE = "def[^\\n]*:[ \\t]*\\n[ \\t]+(\"\"\"|''')"
+
+
+def class_methods(files: DataFrame) -> DataFrame:
+    """OO-structure KG layer: ``(repo, class, method, n_files)`` —
+    every method (``def`` inside a class block's indented body) owned
+    by every class, with ``n_files`` counting distinct defining files.
+    Complements :func:`call_graph` (which deliberately sees only
+    TOP-LEVEL def blocks — methods are invisible to it, so the two
+    layers partition the function space): together they emit the
+    has_method / calls relations a code KG wants next to depends_on /
+    defined_in.
+
+    Same scale shape as every extraction here: class-block + method
+    regexes are scan-fused Column expressions (block text never leaves
+    the scan projection — only class/method identifier tokens), one
+    count aggregation on token keys. Zero Python."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    b = files.select(
+        "repo",
+        "path",
+        F.explode(
+            F.regexp_extract_all(c, F.lit(CLASS_BLOCK_RE), F.lit(1))
+        ).alias("block"),
+    )
+    cls = F.regexp_extract("block", BLOCK_CLASS_RE, 1)
+    methods = F.array_distinct(
+        F.regexp_extract_all("block", F.lit(BLOCK_DEF_RE), F.lit(1))
+    )
+    return (
+        b.select(
+            "repo",
+            "path",
+            cls.alias("class"),
+            F.explode(methods).alias("method"),
+        )
+        .groupBy("repo", "class", "method")
+        .agg(F.countDistinct("path").alias("n_files"))
+    )
+
+
+def doc_coverage(files: DataFrame) -> DataFrame:
+    """Per-repo docstring coverage: ``(repo, n_defs, n_documented,
+    coverage_bp)`` — how many ``def`` lines are followed by a
+    triple-quoted docstring as the block's first statement, in integer
+    basis points (``10000·n_documented div n_defs``; floor division in
+    both engines, repos with zero defs report 0). The documentation
+    quality signal code-curation recipes score next to
+    :func:`..extras.codestats.comment_density` (comment RATIO) — this
+    one measures API documentation discipline, the strongest
+    human-readability proxy the no-AST regex family can extract.
+
+    One scan-fused content pass (two regexp counts per file), one
+    partial-aggregated groupBy(repo). Zero Python."""
+    c = F.coalesce(F.col("content"), F.lit(""))
+    n_defs = F.size(F.regexp_extract_all(c, F.lit(DEF_RE), F.lit(1)))
+    n_doc = F.size(
+        F.regexp_extract_all(c, F.lit(DOCSTRING_DEF_RE), F.lit(1))
+    )
+    return (
+        files.select(
+            "repo", n_defs.alias("nd"), n_doc.alias("nc")
+        )
+        .groupBy("repo")
+        .agg(
+            F.sum("nd").cast("long").alias("n_defs"),
+            F.sum("nc").cast("long").alias("n_documented"),
+        )
+        .withColumn(
+            "coverage_bp",
+            F.when(F.col("n_defs") > 0,
+                   F.expr("CAST(10000 * n_documented DIV n_defs AS BIGINT)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+    )
+
+
+def dep_reach(dep_edges: DataFrame, hops: int = 3) -> DataFrame:
+    """Bounded transitive dependency exposure: ``(repo, n_hop1,
+    n_hop2, ..., n_hop<hops>)`` — for every repo with outgoing
+    dependency edges, the number of DISTINCT repos reachable within
+    1, 2, ..., ``hops`` hops (cumulative, self excluded). The supply-
+    chain blast-radius view: n_hop1 is direct dependencies,
+    n_hop<hops> approximates the install closure.
+
+    Deliberately BOUNDED-k rather than a full transitive closure: on a
+    forge-scale dependency graph the closure is quadratic in the worst
+    case (hub repos reach almost everything), while k-hop pair state
+    grows by one equi-join per hop and stays capped by the hop budget
+    — the same explicit-bound philosophy as MAX_DEF_REPOS. Each hop is
+    one (dst=src) equi-join + distinct on (src, dst) pairs; the SQL
+    twin unrolls the identical joins. Runs on the repo-level graph
+    (already df-capped by :func:`repo_dependencies`), not on files."""
+    e = dep_edges.select(
+        F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
+    ).distinct()
+    pairs = e
+    cums = []
+    for h in range(1, hops + 1):
+        if h > 1:
+            step = pairs.join(
+                e.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                "dst",
+            ).select("src", F.col("nxt").alias("dst"))
+            pairs = (
+                pairs.unionByName(step)
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+        cums.append(
+            pairs.groupBy("src").agg(
+                F.count("*").alias(f"n_hop{h}")
+            )
+        )
+    out = cums[0]
+    for c in cums[1:]:
+        out = out.join(c, "src", "left")
+    cols = [F.col("src").alias("repo")] + [
+        F.coalesce(F.col(f"n_hop{h}"), F.lit(0)).cast("long").alias(f"n_hop{h}")
+        for h in range(1, hops + 1)
+    ]
+    return out.select(*cols)
+
+
 def repo_scc(dep_edges: DataFrame) -> DataFrame:
     """(repo, scc, scc_size): strongly connected components of the
     repo dependency graph — mutual-dependency clusters. A dependency

@@ -3943,6 +3943,135 @@ SELECT repo, path,
 FROM versions GROUP BY repo, path"""
 
 
+def q_class_methods(spark: SparkSession, sf: str) -> DataFrame:
+    """OO-structure extraction (extras.codegraph.class_methods): every
+    class block's methods as (repo, class, method, n_files) — the
+    has_method KG layer; call_graph deliberately sees only top-level
+    defs, so the two partition the function space."""
+    from .extras import codegraph
+
+    return codegraph.class_methods(_repo_files(spark, sf))
+
+
+def _sql_class_methods() -> str:
+    from .extras.codegraph import (
+        BLOCK_CLASS_RE,
+        BLOCK_DEF_RE,
+        CLASS_BLOCK_RE,
+    )
+
+    return f"""WITH {_SQL_REPO_FILES},
+blocks AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, '{CLASS_BLOCK_RE}', 1)) AS block
+  FROM files
+),
+pairs AS (
+  SELECT repo, path,
+         regexp_extract(block, '{BLOCK_CLASS_RE}', 1) AS "class",
+         unnest(list_distinct(regexp_extract_all(block, '{BLOCK_DEF_RE}', 1))) AS method
+  FROM blocks
+)
+SELECT repo, "class", method, CAST(count(DISTINCT path) AS BIGINT) AS n_files
+FROM pairs GROUP BY 1, 2, 3"""
+
+
+def q_doc_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Docstring-coverage quality signal (extras.codegraph.
+    doc_coverage) over an enriched corpus: every 4th file gains one
+    DOCUMENTED function (triple-quoted docstring as the block's first
+    statement), the synthesized base functions carry none — so the
+    per-repo basis points exercise both counter and floor-division
+    paths."""
+    from .extras import codegraph
+
+    files = _repo_files(spark, sf)
+    d = F.regexp_extract("path", r"m(\d+)\.py", 1).cast("long")
+    enriched = files.withColumn(
+        "content",
+        F.when(
+            F.pmod(d, F.lit(4)) == 0,
+            F.concat(
+                F.col("content"),
+                F.lit('def doc'),
+                d.cast("string"),
+                F.lit('(x):\n    """documented."""\n    return x\n'),
+            ),
+        ).otherwise(F.col("content")),
+    )
+    return codegraph.doc_coverage(enriched)
+
+
+def _sql_doc_coverage() -> str:
+    from .extras.codegraph import DEF_RE as _DEF_RE
+    from .extras.codegraph import DOCSTRING_DEF_RE
+
+    # the docstring regex contains BOTH quote styles: double quotes
+    # embed verbatim in a single-quoted SQL literal, the ''' branch
+    # needs SQL quote-doubling
+    doc_re = DOCSTRING_DEF_RE.replace("'", "''")
+    return f"""WITH {_SQL_REPO_FILES},
+enriched AS (
+  SELECT repo,
+         CASE WHEN CAST(regexp_extract(path, 'm([0-9]+)\\.py', 1) AS BIGINT) % 4 = 0
+              THEN content || 'def doc' || regexp_extract(path, 'm([0-9]+)\\.py', 1)
+                   || '(x):' || chr(10) || '    \"\"\"documented.\"\"\"' || chr(10)
+                   || '    return x' || chr(10)
+              ELSE content END AS content
+  FROM files
+),
+per AS (
+  SELECT repo,
+         len(regexp_extract_all(content, '{_DEF_RE}', 1)) AS nd,
+         len(regexp_extract_all(content, '{doc_re}', 1)) AS nc
+  FROM enriched
+)
+SELECT repo, CAST(sum(nd) AS BIGINT) AS n_defs,
+       CAST(sum(nc) AS BIGINT) AS n_documented,
+       CASE WHEN sum(nd) > 0
+            THEN CAST((10000 * sum(nc)) // sum(nd) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS coverage_bp
+FROM per GROUP BY repo"""
+
+
+def q_dep_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded dependency blast radius (extras.codegraph.dep_reach):
+    distinct repos reachable within 1/2/3 hops of the dependency
+    graph — explicit hop budget instead of an unbounded closure (the
+    MAX_DEF_REPOS philosophy applied to reachability)."""
+    from .extras import codegraph
+
+    deps = codegraph.repo_dependencies(_repo_files(spark, sf))
+    return codegraph.dep_reach(deps, hops=3)
+
+
+def _sql_dep_reach() -> str:
+    return f"""WITH {_sql_codegraph_ctes()},
+e AS (SELECT DISTINCT src_repo AS src, dst_repo AS dst FROM deps),
+p1 AS (SELECT src, dst FROM e),
+p2 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM p1
+    UNION
+    SELECT p.src, e.dst FROM p1 p JOIN e ON e.src = p.dst
+  ) WHERE src <> dst
+),
+p3 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM p2
+    UNION
+    SELECT p.src, e.dst FROM p2 p JOIN e ON e.src = p.dst
+  ) WHERE src <> dst
+)
+SELECT c1.src AS repo,
+       CAST(c1.n AS BIGINT) AS n_hop1,
+       CAST(coalesce(c2.n, 0) AS BIGINT) AS n_hop2,
+       CAST(coalesce(c3.n, 0) AS BIGINT) AS n_hop3
+FROM (SELECT src, count(*) AS n FROM p1 GROUP BY 1) c1
+LEFT JOIN (SELECT src, count(*) AS n FROM p2 GROUP BY 1) c2 ON c2.src = c1.src
+LEFT JOIN (SELECT src, count(*) AS n FROM p3 GROUP BY 1) c3 ON c3.src = c1.src"""
+
+
 def q_call_graph(spark: SparkSession, sf: str) -> DataFrame:
     """Function-level call graph (extras.codegraph.call_graph): every
     top-level def block's distinct called identifiers, own name
@@ -4324,6 +4453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "call_graph": q_call_graph,
         "api_usage": q_api_usage,
         "repo_churn": q_repo_churn,
+        "class_methods": q_class_methods,
+        "doc_coverage": q_doc_coverage,
+        "dep_reach": q_dep_reach,
     }
 
 
@@ -4391,6 +4523,9 @@ def oracle_sql() -> dict[str, str]:
         "call_graph": _sql_call_graph(),
         "api_usage": _sql_api_usage(),
         "repo_churn": _sql_repo_churn(),
+        "class_methods": _sql_class_methods(),
+        "doc_coverage": _sql_doc_coverage(),
+        "dep_reach": _sql_dep_reach(),
         "repo_concat": _sql_repo_concat(),
         "repo_families": _sql_repo_families(),
         "comment_density": _sql_comment_density(),

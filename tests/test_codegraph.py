@@ -328,3 +328,73 @@ def test_api_usage_topk_and_ties(spark):
         ("x", 2, 1),
         ("y", 1, 2),
     ]
+
+
+def test_class_methods_block_boundaries(spark):
+    # methods inside the class body count; the top-level def after the
+    # class block does not; two classes in one file both extract
+    content = (
+        "class A:\n"
+        "    def m1(self):\n        return 1\n"
+        "    def m2(self):\n        return 2\n"
+        "def free(x):\n    return x\n"
+        "class B:\n    def m1(self):\n        return 3\n"
+    )
+    df = _files(spark, [("r1", "src/x.py", content)])
+    got = {
+        (r["class"], r["method"], r["n_files"])
+        for r in codegraph.class_methods(df).collect()
+    }
+    assert got == {("A", "m1", 1), ("A", "m2", 1), ("B", "m1", 1)}
+
+
+def test_doc_coverage_counts_and_floor(spark):
+    # r1: 3 defs, 1 documented (""" first statement) -> 3333 bp;
+    # a docstring NOT in first position does not count; r2: 0 defs
+    content = (
+        'def a(x):\n    """doc."""\n    return x\n'
+        "def b(x):\n    return x\n"
+        "def c(x):\n    y = 1\n    '''late'''\n    return y\n"
+    )
+    df = _files(
+        spark,
+        [("r1", "src/x.py", content), ("r2", "README", "no functions here\n")],
+    )
+    got = {r["repo"]: r.asDict() for r in codegraph.doc_coverage(df).collect()}
+    assert got["r1"]["n_defs"] == 3
+    assert got["r1"]["n_documented"] == 1
+    assert got["r1"]["coverage_bp"] == 3333
+    assert got["r2"]["n_defs"] == 0 and got["r2"]["coverage_bp"] == 0
+
+
+def test_doc_coverage_single_quote_style(spark):
+    df = _files(
+        spark, [("r1", "x.py", "def a(x):\n    '''doc'''\n    return x\n")]
+    )
+    out = codegraph.doc_coverage(df).collect()[0]
+    assert out["n_documented"] == 1 and out["coverage_bp"] == 10000
+
+
+def test_dep_reach_hop_counts(spark):
+    # chain a -> b -> c -> d plus a -> e: cumulative distinct reach
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "e", 1), ("b", "c", 1), ("c", "d", 1)],
+        "src_repo string, dst_repo string, weight int",
+    )
+    got = {r["repo"]: r.asDict() for r in codegraph.dep_reach(edges).collect()}
+    assert (got["a"]["n_hop1"], got["a"]["n_hop2"], got["a"]["n_hop3"]) == (2, 3, 4)
+    assert (got["b"]["n_hop1"], got["b"]["n_hop2"], got["b"]["n_hop3"]) == (1, 2, 2)
+    assert (got["c"]["n_hop1"], got["c"]["n_hop3"]) == (1, 1)
+    assert "d" not in got  # no outgoing edges -> no row
+    assert "e" not in got
+
+
+def test_dep_reach_cycle_excludes_self(spark):
+    # a <-> b cycle: reach never includes the source itself
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)],
+        "src_repo string, dst_repo string, weight int",
+    )
+    got = {r["repo"]: r.asDict() for r in codegraph.dep_reach(edges).collect()}
+    assert (got["a"]["n_hop1"], got["a"]["n_hop2"], got["a"]["n_hop3"]) == (1, 1, 1)
+    assert (got["b"]["n_hop1"], got["b"]["n_hop3"]) == (1, 1)

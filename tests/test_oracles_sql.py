@@ -77,6 +77,9 @@ def _rows(df_rows, cols):
         "call_graph",
         "api_usage",
         "repo_churn",
+        "class_methods",
+        "doc_coverage",
+        "dep_reach",
     ],
 )
 def test_derived_oracle_matches(spark, name):
