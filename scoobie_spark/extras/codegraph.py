@@ -588,7 +588,42 @@ def doc_coverage(files: DataFrame) -> DataFrame:
     )
 
 
-def dep_reach(dep_edges: DataFrame, hops: int = 3) -> DataFrame:
+def _dep_reach_local(spark, edge_rows, hops: int) -> DataFrame:
+    """Driver-side hop closure for small graphs (same gate philosophy
+    as graph.pagerank/_cc_local: the distributed loop costs ~10 fixed-
+    overhead jobs per hop, which dominates a |repos|-node graph; the
+    recurrence is identical). Sets-of-neighbors BFS; bit-identical to
+    the distributed path (differential-tested)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edge_rows:
+        if s != d:
+            adj[s].add(d)
+    reach = {s: set(ds) for s, ds in adj.items()}
+    rows = {s: [len(ds)] for s, ds in reach.items()}
+    for _ in range(2, hops + 1):
+        nxt = {}
+        for s, ds in reach.items():
+            grown = set(ds)
+            for d in ds:
+                grown |= adj.get(d, frozenset())
+            grown.discard(s)
+            nxt[s] = grown
+        reach = nxt
+        for s in rows:
+            rows[s].append(len(reach[s]))
+    cols = ", ".join(
+        ["repo string"] + [f"n_hop{h} long" for h in range(1, hops + 1)]
+    )
+    return spark.createDataFrame(
+        [(s, *cnts) for s, cnts in sorted(rows.items())], cols
+    )
+
+
+def dep_reach(
+    dep_edges: DataFrame, hops: int = 3, local_threshold: int = 1 << 20
+) -> DataFrame:
     """Bounded transitive dependency exposure: ``(repo, n_hop1,
     n_hop2, ..., n_hop<hops>)`` — for every repo with outgoing
     dependency edges, the number of DISTINCT repos reachable within
@@ -603,10 +638,24 @@ def dep_reach(dep_edges: DataFrame, hops: int = 3) -> DataFrame:
     — the same explicit-bound philosophy as MAX_DEF_REPOS. Each hop is
     one (dst=src) equi-join + distinct on (src, dst) pairs; the SQL
     twin unrolls the identical joins. Runs on the repo-level graph
-    (already df-capped by :func:`repo_dependencies`), not on files."""
+    (already df-capped by :func:`repo_dependencies`), not on files.
+
+    Sub-``local_threshold``-edge graphs run the identical recurrence
+    driver-side (:func:`_dep_reach_local` — the graph.pagerank /
+    connected_components gate: the distributed loop's fixed overhead
+    dominates a |repos|-node graph; pass ``local_threshold=0`` to
+    force the distributed path). The edge count is one cheap count on
+    the already-aggregated edge table."""
     e = dep_edges.select(
         F.col("src_repo").alias("src"), F.col("dst_repo").alias("dst")
     ).distinct()
+    if local_threshold:
+        e = e.localCheckpoint(eager=False)
+        n_edges = e.count()
+        if n_edges <= local_threshold:
+            return _dep_reach_local(
+                dep_edges.sparkSession, [(r[0], r[1]) for r in e.collect()], hops
+            )
     pairs = e
     cums = []
     for h in range(1, hops + 1):

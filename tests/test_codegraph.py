@@ -398,3 +398,27 @@ def test_dep_reach_cycle_excludes_self(spark):
     got = {r["repo"]: r.asDict() for r in codegraph.dep_reach(edges).collect()}
     assert (got["a"]["n_hop1"], got["a"]["n_hop2"], got["a"]["n_hop3"]) == (1, 1, 1)
     assert (got["b"]["n_hop1"], got["b"]["n_hop3"]) == (1, 1)
+
+
+def test_dep_reach_local_matches_distributed(spark):
+    # the small-graph driver gate must be bit-identical to the
+    # distributed unrolled-join path (same convention as the
+    # pagerank/connected_components gates)
+    import random
+
+    rng = random.Random(17)
+    nodes = [f"r{i}" for i in range(30)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)}
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges if s != d],
+        "src_repo string, dst_repo string, weight int",
+    )
+    local = {
+        r["repo"]: (r["n_hop1"], r["n_hop2"], r["n_hop3"])
+        for r in codegraph.dep_reach(df).collect()
+    }
+    dist = {
+        r["repo"]: (r["n_hop1"], r["n_hop2"], r["n_hop3"])
+        for r in codegraph.dep_reach(df, local_threshold=0).collect()
+    }
+    assert local == dist
