@@ -196,3 +196,77 @@ def streaming_code_edges(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_latest_snapshot(
+    stream_files: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+):
+    """Merge-on-read streaming twin of
+    ``extras.codestats.latest_snapshot``: as commits stream in, each
+    micro-batch reduces ITSELF to per-(repo, path) newest-version rows
+    (the same struct-max rule, digests only — file text never reaches
+    the sink) and appends them to a ``batch_id``-partitioned log;
+    :func:`read_latest_snapshot` folds the log back to the live
+    HEAD-snapshot view with the same rule. This is precisely the
+    Iceberg ``MERGE INTO`` / equality-delete pattern expressed as the
+    repo's documented parquet stand-in (append-only writes, compaction
+    deferred to the read — the lakehouse merge-on-read contract;
+    swap note in kb/model.py applies here too).
+
+    Restart safety matches :func:`streaming_code_edges`: a replayed
+    batch dynamically OVERWRITES its own batch_id partition, so the
+    log stays exactly-once under retries. Each version row of the
+    stream lands in exactly one batch, so the folded n_versions equals
+    batch-mode's count."""
+    from .extras.codestats import latest_snapshot
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        (
+            latest_snapshot(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = stream_files.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_latest_snapshot(spark, out_dir: str) -> DataFrame:
+    """Fold the :func:`streaming_latest_snapshot` log to the live view
+    ``(repo, path, commit, n_versions, content_sha256)`` — the
+    merge-on-read step. The cross-batch fold breaks commit ties by the
+    DIGEST string where batch mode breaks them by content text;
+    identical whenever commit ids are unique per (repo, path) version
+    (the table contract — a tie means the same commit re-delivered,
+    which dynamic partition overwrite already deduplicates)."""
+    log = spark.read.parquet(out_dir)
+    m = F.max(
+        F.struct(
+            F.col("commit").alias("c"), F.col("content_sha256").alias("v")
+        )
+    )
+    return (
+        log.groupBy("repo", "path")
+        .agg(m.alias("m"), F.sum("n_versions").cast("long").alias("n_versions"))
+        .select(
+            "repo",
+            "path",
+            F.col("m.c").alias("commit"),
+            "n_versions",
+            F.col("m.v").alias("content_sha256"),
+        )
+    )
